@@ -1,0 +1,122 @@
+"""Minimal lenient HTML DOM for the extraction engine.
+
+Builds a tree from tag-soup HTML with the implicit-close rules that
+loose HTML parsing applies (a ``<p>`` is closed by a following block
+element, anchors never nest, table cells auto-close, …).  This is the
+DOM the shakespeare reader walks; the reference used a libxml-backed
+DOM (`/root/reference/src/parser/analyzer/ParseShakespeare.php:19-20`),
+so the auto-close behavior here is tuned to match libxml on the golden
+corpus inputs.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import List, Optional, Union
+
+VOID_ELEMENTS = frozenset({
+    "br", "hr", "img", "meta", "link", "input", "base", "area", "col",
+    "embed", "param", "source", "track", "wbr",
+})
+
+_BLOCK = frozenset({
+    "p", "blockquote", "h1", "h2", "h3", "h4", "h5", "h6", "table", "div",
+    "ul", "ol", "dl", "pre", "address", "center", "form",
+})
+
+# an open element E (keys) is implicitly closed when any tag in the
+# value set starts while E is on top of the stack.
+_CLOSED_BY = {
+    "p": _BLOCK | {"li", "tr", "td", "th"},
+    "a": {"a"},
+    "td": {"td", "th", "tr"},
+    "th": {"td", "th", "tr"},
+    "tr": {"tr"},
+    "li": {"li"},
+    "option": {"option"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None,
+                 parent: Optional["Node"] = None) -> None:
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: List[Union["Node", str]] = []
+        self.parent = parent
+
+    def get(self, attr: str) -> Optional[str]:
+        return self.attrs.get(attr)
+
+    def text(self) -> str:
+        """Concatenated descendant text (DOM nodeValue for elements)."""
+        out: List[str] = []
+        stack: List[Union[Node, str]] = [self]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, str):
+                out.append(n)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    def find_first(self, tag: str) -> Optional["Node"]:
+        """First element with ``tag`` in document order (self included)."""
+        stack: List[Node] = [self]
+        while stack:
+            n = stack.pop(0)
+            if n.tag == tag:
+                return n
+            stack[:0] = [c for c in n.children if isinstance(c, Node)]
+        return None
+
+    def element_children(self) -> List["Node"]:
+        return [c for c in self.children if isinstance(c, Node)]
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self._stack: List[Node] = [self.root]
+
+    def _top(self) -> Node:
+        return self._stack[-1]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        while len(self._stack) > 1 and tag in _CLOSED_BY.get(self._top().tag, ()):
+            self._stack.pop()
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
+                    self._top())
+        self._top().children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs},
+                    self._top())
+        self._top().children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # close tag with no matching open: ignored
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top().children.append(data)
+
+
+def parse_html(text: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(text)
+    b.close()
+    return b.root
