@@ -1,0 +1,146 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+``--scaling`` runs the headline extraction pipeline twice in fresh
+child processes (num_cpus=8 then 32) on the same input and reports
+both throughputs + scaling efficiency — the sandbox evidence for the
+N→4N-nodes criterion (a real two-size cluster is unavailable here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_brands_by_revenue",
+    "events_by_type",
+    "daily_event_counts",
+    "events_sessionize",
+    "dedup_exact",
+    "doc_token_stats",
+    "word_frequency",
+    "doc_fingerprint",
+    "knn_cosine",
+    "near_dup_embeddings",
+]
+
+
+def _consume(res) -> int:
+    """Drain a result without driver-side materialization of big data."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_flagship(sf_dir: str) -> tuple[float, int]:
+    from ray_script_extract.pipelines.flagship import flagship_extract
+
+    t0 = time.time()
+    ds = flagship_extract(sf_dir)
+    n_docs = ds.count()
+    return time.time() - t0, n_docs
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--scaling" in sys.argv:
+        return run_scaling()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ray_script_extract.pipelines.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    flagship_sec, n_docs = run_flagship(SF_DIR)
+    timings["flagship_extract"] = round(flagship_sec, 3)
+    timings["flagship_docs_per_sec"] = round(n_docs / flagship_sec, 1)
+
+    for name in BENCH_QUERIES:
+        t = time.time()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+_CHILD_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR")
+import logging
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+from ray_script_extract.pipelines.flagship import flagship_extract
+# warmup pass to exclude one-time Ray/actor start cost from the measure
+flagship_extract({sf!r}).count()
+t0 = time.time()
+n = flagship_extract({sf!r}).count()
+dt = time.time() - t0
+print(json.dumps({{"num_cpus": {cpus}, "sec": dt, "docs": n,
+                   "docs_per_sec": n / dt}}))
+ray.shutdown()
+"""
+
+
+def run_scaling() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for cpus in (8, 32):
+        code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus, sf=SF_DIR)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "docs_per_sec_cpus8": round(thr8, 1),
+            "docs_per_sec_cpus32": round(thr32, 1),
+            "sec_cpus8": round(results[0]["sec"], 2),
+            "sec_cpus32": round(results[1]["sec"], 2),
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }))
+
+
+if __name__ == "__main__":
+    main()

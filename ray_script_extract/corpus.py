@@ -1,0 +1,150 @@
+"""Deterministic synthetic interleaved-document corpus generator.
+
+Produces the engine's input table shape (FIXTURES.md §1):
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)``
+mixing Shakespeare-shaped HTML documents, plain text, and opaque media
+spans.  Fully deterministic from (seed, index) — no wall clock, no
+global RNG — so any shard can be regenerated independently at any
+scale (the property a 10^12-doc corpus build relies on).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Dict, List
+
+import pyarrow as pa
+
+from .schema import DOC_SCHEMA
+
+_WORDS = (
+    "castle night watch king ghost crown sword honor throne vow blood "
+    "storm sea raven candle mirror letter poison dagger garden wall "
+    "march plot feast mask grief joy oath star moon tide").split()
+
+_NAMES = ("BERNARDO FRANCISCO HORATIO MARCELLUS CLAUDIUS GERTRUDE OPHELIA "
+          "LAERTES POLONIUS REYNALDO OSRIC FORTINBRAS").split()
+
+_ROMAN = ("I", "II", "III", "IV", "V")
+
+
+def _rng(seed: int, index: int) -> random.Random:
+    h = hashlib.sha256(f"{seed}:{index}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _sentence(r: random.Random, lo: int = 4, hi: int = 10) -> str:
+    n = r.randint(lo, hi)
+    words = [r.choice(_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + r.choice([".", "!", "?", ",", ":"])
+
+
+def make_play_html(seed: int, index: int, n_acts: int = 1,
+                   speeches_per_scene: int = 6) -> str:
+    """One deterministic Shakespeare-shaped HTML document."""
+    r = _rng(seed, index)
+    title = f"Play {index}"
+    parts: List[str] = [
+        "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.0 Transitional//EN\">",
+        "<html>", "<head>", f"<title>{title}: Entire Play", "</title>", "</head>",
+        "<body>",
+        "<table width=\"100%\"><tr><td class=\"nav\">"
+        "<a href=\"/x\">nav boilerplate</a></table>",
+    ]
+    speech_num = 1
+    for act in range(n_acts):
+        parts.append(f"<H3>ACT {_ROMAN[act % 5]}</h3>")
+        for scene in range(r.randint(1, 2)):
+            parts.append(
+                f"<h3>SCENE {_ROMAN[scene % 5]}. {_sentence(r, 3, 5)}</h3>")
+            parts.append("<p><blockquote>")
+            parts.append(f"<i>Enter {r.choice(_NAMES)} and {r.choice(_NAMES)}</i>")
+            parts.append("</blockquote>")
+            for _ in range(speeches_per_scene):
+                name = r.choice(_NAMES)
+                parts.append(f"<A NAME=speech{speech_num}><b>{name}</b></a>")
+                speech_num += 1
+                parts.append("<blockquote>")
+                for li in range(r.randint(1, 4)):
+                    prefix = "[Aside] " if r.random() < 0.08 else ""
+                    parts.append(
+                        f"<A NAME={act+1}.{scene+1}.{li+1}>{prefix}{_sentence(r)}</A><br>")
+                if r.random() < 0.15:
+                    parts.append(f"<p><i>Exit {name}</i></p>")
+                parts.append("</blockquote>")
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def make_doc(seed: int, index: int, size_class: str = "small") -> Dict:
+    """One document row: interleaved html/text/media spans.
+
+    size_class: 'small' (1 act), 'medium' (~10 acts), 'large' (~60 acts)
+    — drives the skew/bucketing tests (FIXTURES.md §7).
+    """
+    r = _rng(seed, index ^ 0x5EED)
+    n_acts = {"small": 1, "medium": 10, "large": 60}[size_class]
+    spans: List[Dict] = []
+    off = 0
+
+    def add(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": off})
+        off += 1
+
+    if r.random() < 0.15:
+        digest = hashlib.sha256(f"img:{seed}:{index}".encode()).hexdigest()
+        add("image", media_ref=f"img://sha256/{digest}")
+    kind_roll = r.random()
+    if kind_roll < 0.70:
+        add("html", text=make_play_html(seed, index, n_acts=n_acts))
+    else:
+        for _ in range(r.randint(1, 3) * n_acts):
+            add("text", text=_sentence(r, 6, 14))
+    if r.random() < 0.10:
+        digest = hashlib.sha256(f"media:{seed}:{index}".encode()).hexdigest()
+        add("media", media_ref=f"img://sha256/{digest}")
+    return {"doc_id": f"doc-{index:08d}", "spans": spans}
+
+
+def size_class_for(index: int) -> str:
+    """~90% small, ~9% medium, ~1% large (deterministic by index)."""
+    m = index % 100
+    if m == 0:
+        return "large"
+    if m < 10:
+        return "medium"
+    return "small"
+
+
+def make_corpus_table(num_docs: int, seed: int = 42,
+                      start_index: int = 0, skewed: bool = True) -> pa.Table:
+    rows = [make_doc(seed, i, size_class_for(i) if skewed else "small")
+            for i in range(start_index, start_index + num_docs)]
+    return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
+def corpus_dataset(num_docs: int, seed: int = 42, skewed: bool = True,
+                   docs_per_block: int = 200):
+    """A lazy ray.data.Dataset over the synthetic corpus.
+
+    Generation happens INSIDE tasks (``flat_map`` over shard descriptors),
+    so the driver never materializes the corpus — the pattern that holds
+    at 10^12 docs where shard descriptors, not documents, are the
+    driver-side state.
+    """
+    import ray.data
+
+    shards = [{"start": s, "count": min(docs_per_block, num_docs - s),
+               "seed": seed, "skewed": skewed}
+              for s in range(0, num_docs, docs_per_block)]
+
+    def expand(shard: Dict) -> List[Dict]:
+        return [make_doc(shard["seed"], i,
+                         size_class_for(i) if shard["skewed"] else "small")
+                for i in range(shard["start"], shard["start"] + shard["count"])]
+
+    return ray.data.from_items(shards).flat_map(expand)

@@ -1,0 +1,597 @@
+"""Query/operator battery over the testdata tables, Ray-Data-first.
+
+Each entry here has a Ray implementation (``QUERIES[name]``: callable
+``sf_dir -> Dataset | DataFrame | Table``) and, where SQL-expressible,
+a DuckDB oracle (``ORACLE_SQL[name]``) producing identical columns /
+values.  Numeric discipline: money/value aggregates go through
+``cents`` (floor(x*100+0.5) as int64) so sums are exact integers and
+independent of accumulation order on BOTH engines; scalar divisions
+happen once, post-aggregation.
+
+Scale notes (these run on testdata but are written for the 100 TB
+shape):
+* reads always pass ``columns=[...]`` — only needed columns leave
+  storage;
+* small dimensions are broadcast (collected once, shipped to tasks via
+  closure over a ray.put object), never shuffled;
+* large⨝large uses ``Dataset.join`` (hash shuffle) with an explicit
+  partition count;
+* aggregates pre-combine per block inside Ray's hash aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents_np(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-flavored)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary: groupby (returnflag, linestatus) with exact
+    integer-cents sums (vectorized per batch, partial-combined by Ray's
+    hash aggregation)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "base_cents", pa.array(_cents_np(price), pa.int64())
+        ).append_column(
+            "disc_cents", pa.array(_cents_np(price * (1.0 - disc)), pa.int64()))
+
+    out = (ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(
+                 Sum("l_quantity", alias_name="sum_qty"),
+                 Sum("base_cents", alias_name="sum_base_cents"),
+                 Sum("disc_cents", alias_name="sum_disc_cents"),
+                 Count(alias_name="count_order"),
+             )
+             .sort(["l_returnflag", "l_linestatus"]))
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Top-10 orders by revenue: large⨝large hash join
+    (lineitem ⨝ orders via Dataset.join) then sort+limit."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+        })
+
+    rev = (li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("l_orderkey")
+             .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = rev.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    # the hash join keeps the left key name; restore the orders name
+    out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+                 .limit(10)
+                 .map_batches(lambda b: b.select(
+                     ["l_orderkey", "o_orderpriority", "revenue_cents"])
+                     .rename_columns(["o_orderkey", "o_orderpriority",
+                                      "revenue_cents"]),
+                     batch_format="pyarrow"))
+    return out
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderpriority, revenue_cents
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+  FROM lineitem GROUP BY l_orderkey
+) r JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str):
+    """Revenue by region where customer and supplier share a nation —
+    a 5-way join done map-side: all dimension tables are broadcast
+    (read once on the driver, shipped into tasks), so the only
+    distributed pass is ONE vectorized scan of lineitem.  At 100 TB
+    the orders side would graduate from broadcast dict to
+    Dataset.join; dims stay broadcast."""
+    import pyarrow.parquet as pq
+
+    orders_t = pq.read_table(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    supp_t = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region_t = pq.read_table(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+
+    # Dense-array lookup tables (int index -> value), shared via ray.put
+    def as_map(keys, vals):
+        k = np.asarray(keys)
+        v = np.asarray(vals)
+        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
+        out[k] = v
+        return out
+
+    order_cust = as_map(orders_t["o_orderkey"], orders_t["o_custkey"])
+    cust_nation = as_map(cust_t["c_custkey"], cust_t["c_nationkey"])
+    supp_nation = as_map(supp_t["s_suppkey"], supp_t["s_nationkey"])
+    nation_region = as_map(nation_t["n_nationkey"], nation_t["n_regionkey"])
+    region_names = region_t["r_name"].to_pylist()
+    maps_ref = ray.put((order_cust, cust_nation, supp_nation, nation_region))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def local_join(batch: pa.Table) -> pa.Table:
+        order_cust, cust_nation, supp_nation, nation_region = ray.get(maps_ref)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        c_nat = cust_nation[order_cust[ok]]
+        s_nat = supp_nation[sk]
+        keep = c_nat == s_nat
+        region = nation_region[s_nat[keep]]
+        return pa.table({
+            "regionkey": pa.array(region, pa.int64()),
+            "rev_cents": pa.array(_cents_np(price[keep] * (1.0 - disc[keep])),
+                                  pa.int64()),
+        })
+
+    agg = (li.map_batches(local_join, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("regionkey")
+             .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+             .to_pandas())
+    agg["r_name"] = [region_names[int(r)] for r in agg["regionkey"]]
+    out = agg[["r_name", "revenue_cents"]].sort_values("r_name").reset_index(drop=True)
+    return out
+
+
+Q5_SQL = """
+SELECT r_name,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def top_brands_by_revenue(sf_dir: str):
+    """lineitem ⨝ part (broadcast) → revenue per brand."""
+    import pyarrow.parquet as pq
+
+    part_t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = np.asarray(part_t["p_partkey"])
+    brands = part_t["p_brand"].to_pylist()
+    brand_codes, brand_names = pd.factorize(pd.Series(brands))
+    lookup = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    lookup[pk] = brand_codes
+    lookup_ref = ray.put(lookup)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        partkey = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "brand_code": pa.array(lut[partkey], pa.int64()),
+            "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+        })
+
+    agg = (li.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("brand_code")
+             .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
+                        Count(alias_name="n_items"))
+             .to_pandas())
+    agg["p_brand"] = [brand_names[int(c)] for c in agg["brand_code"]]
+    out = (agg[["p_brand", "revenue_cents", "n_items"]]
+           .sort_values("p_brand").reset_index(drop=True))
+    return out
+
+
+TOP_BRANDS_SQL = """
+SELECT p_brand,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-shaped table)
+# ---------------------------------------------------------------------------
+
+def _events_with_cents(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value", "ts"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.append_column("value_cents",
+                                   pa.array(_cents_np(val), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_by_type(sf_dir: str):
+    """count / exact value sum / distinct users per event type.
+    Distinct via two-level aggregation (pre-shrunk on (type,user))."""
+    ds = _events_with_cents(sf_dir)
+    per_user = (ds.groupby(["event_type", "user_id"])
+                  .aggregate(Count(alias_name="n"),
+                             Sum("value_cents", alias_name="vc")))
+    out = (per_user.groupby("event_type")
+                   .aggregate(Sum("n", alias_name="n_events"),
+                              Sum("vc", alias_name="total_value_cents"),
+                              Count(alias_name="n_users"))
+                   .sort("event_type"))
+    return out
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS total_value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def daily_event_counts(sf_dir: str):
+    ds = _events_with_cents(sf_dir)
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return batch.append_column("day", day)
+
+    out = (ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["day", "event_type"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value_cents", alias_name="total_value_cents"))
+             .sort(["day", "event_type"]))
+    return out
+
+
+DAILY_EVENTS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS total_value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > 30 min starts a new session) —
+    the canonical keyed-stream op: hash-partition by user, per-group
+    sort + vectorized gap scan (no Python loop over events)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts"].to_numpy())
+        breaks = 1 + int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 1
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "n_sessions": np.array([breaks], dtype=np.int64),
+                             "n_events": np.array([len(ts)], dtype=np.int64)})
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
+    return out
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on text, keep min(doc_id) per group.
+    At scale the groupby key would be a 128-bit content hash computed
+    in a map stage (shrinks shuffle payload); semantics identical."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.groupby("text")
+             .aggregate(Min("doc_id", alias_name="doc_id"))
+             .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+             .sort("doc_id"))
+    return out
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-language token/char totals, fully vectorized (RE2 kernels
+    in Arrow match DuckDB's RE2 semantics exactly)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "lang": batch.column("lang"),
+            "tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    out = (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("tokens", alias_name="total_tokens"),
+                        Sum("chars", alias_name="total_chars"))
+             .sort("lang"))
+    return out
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+       SUM(length(text)) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def word_frequency(sf_dir: str, k: int = 20):
+    """Global top-k words: explode → groupby(word) count → sort/limit.
+    The explode happens inside map_batches (Arrow split + flatten),
+    the count pre-combines per block before the small shuffle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        flat = words.combine_chunks().flatten() if isinstance(words, pa.ChunkedArray) \
+            else words.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"word": flat})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("word")
+             .aggregate(Count(alias_name="cnt"))
+             .sort(["cnt", "word"], descending=[True, False])
+             .limit(k))
+    return out
+
+
+WORD_FREQUENCY_SQL = """
+SELECT w AS word, COUNT(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w FROM documents)
+GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint per document (md5 of text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                            for t in texts], pa.string()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+def _load_embedding_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"])
+    mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def knn_cosine(sf_dir: str, n_queries: int = 4, k: int = 5):
+    """Brute-force cosine top-k: the k query vectors are broadcast
+    once (ray.put); each batch does one matmul against them; the
+    global top-k per query is a small sort+limit per group."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    q_ids = ids[:n_queries]
+    q = mat[:n_queries]
+    q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_norm = ray.get(q_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q_norm.T  # (batch, n_queries)
+        n, nq = sims.shape
+        return pa.table({
+            "query_id": pa.array(np.repeat(q_ids, n), pa.int64()),
+            "vec_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
+            "score": pa.array(np.round(sims.T.reshape(-1), 4), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["vec_id"] != df["query_id"]]
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    out = (scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+                 .sort(["query_id", "rank"]))
+    return out
+
+
+KNN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def near_dup_embeddings(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (a < b, round(cos,4) ≥ τ).
+    The full normalized matrix is broadcast once; each batch computes
+    its block-row of the similarity matrix (at 10^12 scale this
+    becomes LSH-bucketed first — see dedup_minhash_lsh).  Scores are
+    rounded to 4 decimals before thresholding on both engines so the
+    float32-vs-float64 kernel difference can't flip a boundary pair."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    all_ref = ray.put((ids, norm))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_norm = ray.get(all_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ all_norm.T, 4)
+        rows, cols = np.where(sims >= threshold)
+        a = vec_ids[rows]
+        b = all_ids[cols]
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True) \
+             .sort(["id_a", "id_b"])
+
+
+NEAR_DUP_EMB_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "top_brands_by_revenue": top_brands_by_revenue,
+    "events_by_type": events_by_type,
+    "daily_event_counts": daily_event_counts,
+    "events_sessionize": events_sessionize,
+    "dedup_exact": dedup_exact,
+    "doc_token_stats": doc_token_stats,
+    "word_frequency": word_frequency,
+    "doc_fingerprint": doc_fingerprint,
+    "knn_cosine": knn_cosine,
+    "near_dup_embeddings": near_dup_embeddings,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "top_brands_by_revenue": TOP_BRANDS_SQL,
+    "events_by_type": EVENTS_BY_TYPE_SQL,
+    "daily_event_counts": DAILY_EVENTS_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "word_frequency": WORD_FREQUENCY_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "knn_cosine": KNN_COSINE_SQL,
+    "near_dup_embeddings": NEAR_DUP_EMB_SQL,
+}
