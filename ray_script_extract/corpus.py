@@ -78,6 +78,35 @@ def make_play_html(seed: int, index: int, n_acts: int = 1,
     return "\n".join(parts)
 
 
+def _scenes(r: random.Random, n_scenes: int) -> List[Dict]:
+    scenes = []
+    for s in range(n_scenes):
+        speeches = []
+        for _ in range(r.randint(2, 4)):
+            name = r.choice(_NAMES)
+            paren = "(quietly)" if r.random() < 0.2 else None
+            dialog = ["I " + _sentence(r, 4, 8).lower()
+                      for _ in range(r.randint(1, 3))]
+            speeches.append((name, paren, dialog))
+        scenes.append({
+            "slug": f"{'INT' if r.random() < 0.5 else 'EXT'}. "
+                    f"{r.choice(_WORDS).upper()} - "
+                    f"{'DAY' if r.random() < 0.5 else 'NIGHT'}",
+            "action": [_sentence(r, 6, 12) + " We see " + r.choice(_WORDS) + "."
+                       for _ in range(r.randint(1, 2))],
+            "speeches": speeches,
+            "transition": "CUT TO:" if r.random() < 0.3 else None,
+        })
+    return scenes
+
+
+def make_screenplay_pages(r: random.Random, n_pages: int) -> List[str]:
+    from .sources.pagexml_fixtures import screenplay_page
+
+    return [screenplay_page(p + 1, _scenes(r, r.randint(2, 3)))
+            for p in range(n_pages)]
+
+
 def make_doc(seed: int, index: int, size_class: str = "small") -> Dict:
     """One document row: interleaved html/text/media spans.
 
@@ -99,8 +128,20 @@ def make_doc(seed: int, index: int, size_class: str = "small") -> Dict:
         digest = hashlib.sha256(f"img:{seed}:{index}".encode()).hexdigest()
         add("image", media_ref=f"img://sha256/{digest}")
     kind_roll = r.random()
-    if kind_roll < 0.70:
+    if kind_roll < 0.50:
         add("html", text=make_play_html(seed, index, n_acts=n_acts))
+    elif kind_roll < 0.75:
+        for page_xml in make_screenplay_pages(r, n_pages=max(2, n_acts)):
+            add("pdf_page_xml", text=page_xml)
+    elif kind_roll < 0.85:
+        import base64
+
+        from .sources.pdf_fixtures import build_pdf, screenplay_pdf_lines
+
+        scene_pages = [screenplay_pdf_lines(_scenes(r, 2))
+                       for _ in range(max(2, min(n_acts, 6)))]
+        add("pdf_raw",
+            text=base64.b64encode(build_pdf(scene_pages)).decode("ascii"))
     else:
         for _ in range(r.randint(1, 3) * n_acts):
             add("text", text=_sentence(r, 6, 14))

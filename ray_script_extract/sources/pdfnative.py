@@ -1,0 +1,507 @@
+"""Minimal native PDF front-end: PDF bytes → pdftohtml-style page XML.
+
+Re-implements (from the PDF 1.7 public spec, not from any existing
+library) the slice of PDF the extraction engine needs — the reference
+shelled out to poppler's ``pdftohtml -xml -zoom 1``
+(`/root/reference/src/parser/analyzer/Parser.php:68-79`); this module
+replaces that subprocess with an in-process reader producing the same
+per-page ``<page><fontspec/><text .../></page>`` tuples consumed by
+``engine.pagexml``.
+
+Supported subset (matches FIXTURES.md §4):
+* object scan (robust to missing/odd xref: we scan ``N 0 obj``),
+  classic dictionaries / arrays / names / numbers / strings
+  (literal + hex) / indirect refs / streams;
+* /FlateDecode (zlib) and unfiltered streams;
+* page tree traversal with /Kids recursion and /MediaBox /Resources
+  inheritance (multi-level trees exercised by fixtures);
+* content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
+  numbers), ' — with the text matrix tracked;
+* widths via Courier standard-14 fixed 600/1000 advance or an
+  embedded /Widths array; ToUnicode bfchar CMaps (hex) for decode;
+* WinAnsi/latin-1 byte decode otherwise.
+
+Coordinate convention (documented assumption, poppler unavailable in
+this sandbox): at zoom 1, ``top = page_height - ty - font_size_px``
+and ``left = tx`` where (tx, ty) is the text-space origin of the run;
+fixture PDFs are authored in exactly these coordinates so the
+line-bucketing (±4 px) and gap (÷7) arithmetic fires identically.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+from xml.sax.saxutils import escape
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:
+        return f"Ref({self.num})"
+
+
+class Keyword:
+    """A bare keyword token (content-stream operator)."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: bytes) -> None:
+        self.name = name
+
+
+class Stream:
+    __slots__ = ("dict", "data")
+
+    def __init__(self, d: Dict, data: bytes) -> None:
+        self.dict = d
+        self.data = data
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and data[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                break
+
+    def peek(self) -> int:
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+    def parse_object(self):
+        self.skip_ws()
+        data = self.data
+        c = self.peek()
+        if c == -1:
+            return None
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x3C:  # '<'
+            if data[self.pos:self.pos + 2] == b"<<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        # number / ref / keyword
+        m = re.match(rb"[+-]?\d+\s+\d+\s+R\b", data[self.pos:])
+        if m:
+            num = int(m.group(0).split()[0])
+            self.pos += m.end()
+            return Ref(num)
+        m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", data[self.pos:])
+        if m:
+            tok = m.group(0)
+            self.pos += len(tok)
+            return float(tok) if b"." in tok else int(tok)
+        m = re.match(rb"[A-Za-z'\"*]+", data[self.pos:])
+        if m:
+            kw = m.group(0)
+            self.pos += len(kw)
+            if kw == b"true":
+                return True
+            if kw == b"false":
+                return False
+            if kw == b"null":
+                return None
+            return Keyword(kw)  # content-stream operator
+        self.pos += 1
+        return None
+
+    def _parse_name(self) -> str:
+        self.pos += 1
+        start = self.pos
+        data, n = self.data, len(self.data)
+        while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = data[start:self.pos]
+        # #xx escapes
+        out = re.sub(rb"#([0-9A-Fa-f]{2})",
+                     lambda m: bytes([int(m.group(1), 16)]), raw)
+        return "/" + out.decode("latin-1")
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = data[self.pos]
+                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                       0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    while (self.pos < n and len(oct_digits) < 3
+                           and 0x30 <= data[self.pos] <= 0x37):
+                        oct_digits.append(data[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    break
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end == -1:
+            end = len(self.data)
+        hexstr = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos:end])
+        self.pos = end + 1
+        if len(hexstr) % 2:
+            hexstr += b"0"
+        return bytes.fromhex(hexstr.decode("ascii"))
+
+    def _parse_array(self) -> List:
+        self.pos += 1
+        out: List = []
+        while True:
+            self.skip_ws()
+            if self.peek() == 0x5D:
+                self.pos += 1
+                break
+            if self.peek() == -1:
+                break
+            out.append(self.parse_object())
+        return out
+
+    def _parse_dict_or_stream(self):
+        self.pos += 2
+        d: Dict = {}
+        while True:
+            self.skip_ws()
+            if self.data[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if self.peek() == -1:
+                break
+            key = self.parse_object()
+            val = self.parse_object()
+            if isinstance(key, str):
+                d[key] = val
+        self.skip_ws()
+        if self.data[self.pos:self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos:self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.data[self.pos:self.pos + 1] in (b"\n", b"\r"):
+                self.pos += 1
+            length = d.get("/Length", 0)
+            if isinstance(length, Ref):
+                length = 0  # resolved later by endstream scan
+            if length:
+                data = self.data[self.pos:self.pos + int(length)]
+                self.pos += int(length)
+                end = self.data.find(b"endstream", self.pos)
+            else:
+                end = self.data.find(b"endstream", self.pos)
+                data = self.data[self.pos:end if end != -1 else len(self.data)]
+                data = data.rstrip(b"\r\n")
+            if end != -1:
+                self.pos = end + len(b"endstream")
+            return Stream(d, data)
+        return d
+
+
+class PdfDocument:
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.objects: Dict[int, object] = {}
+        for m in _OBJ_RE.finditer(raw):
+            num = int(m.group(1))
+            lex = _Lexer(raw, m.end())
+            try:
+                self.objects[num] = lex.parse_object()
+            except Exception:
+                continue
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, Ref) and seen < 32:
+            obj = self.objects.get(obj.num)
+            seen += 1
+        return obj
+
+    def stream_data(self, stream: Stream) -> bytes:
+        filt = self.resolve(stream.dict.get("/Filter"))
+        data = stream.data
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            f = self.resolve(f)
+            if f == "/FlateDecode":
+                data = zlib.decompress(data)
+            elif f is None:
+                pass
+            else:
+                raise NotImplementedError(f"PDF filter {f} not supported")
+        return data
+
+    def catalog(self) -> Optional[Dict]:
+        for obj in self.objects.values():
+            obj = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(obj, dict) and obj.get("/Type") == "/Catalog":
+                return obj
+        return None
+
+    def pages(self) -> List[Dict]:
+        """Page dicts in document order, with inherited attributes."""
+        cat = self.catalog()
+        if cat is None:
+            return []
+        root = self.resolve(cat.get("/Pages"))
+        out: List[Dict] = []
+
+        def walk(node: Dict, inherited: Dict) -> None:
+            if not isinstance(node, dict):
+                return
+            inh = dict(inherited)
+            for key in ("/MediaBox", "/Resources", "/Rotate"):
+                if key in node:
+                    inh[key] = node[key]
+            if node.get("/Type") == "/Page":
+                page = dict(node)
+                for key, val in inh.items():
+                    page.setdefault(key, val)
+                out.append(page)
+                return
+            for kid in (self.resolve(node.get("/Kids")) or []):
+                walk(self.resolve(kid), inh)
+
+        walk(root, {})
+        return out
+
+
+# Courier standard-14: all glyphs advance 600/1000
+_COURIER_WIDTH = 600
+
+
+class _Font:
+    def __init__(self, doc: PdfDocument, font_dict: Dict) -> None:
+        self.base = doc.resolve(font_dict.get("/BaseFont")) or "/Courier"
+        self.first_char = doc.resolve(font_dict.get("/FirstChar"))
+        widths = doc.resolve(font_dict.get("/Widths"))
+        self.widths = [doc.resolve(w) for w in widths] if widths else None
+        self.to_unicode = self._parse_tounicode(doc, font_dict)
+
+    @staticmethod
+    def _parse_tounicode(doc: PdfDocument, font_dict: Dict) -> Optional[Dict[int, str]]:
+        tu = doc.resolve(font_dict.get("/ToUnicode"))
+        if not isinstance(tu, Stream):
+            return None
+        try:
+            text = doc.stream_data(tu).decode("latin-1")
+        except Exception:
+            return None
+        mapping: Dict[int, str] = {}
+        for m in re.finditer(r"beginbfchar(.*?)endbfchar", text, re.S):
+            for src, dst in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                                       m.group(1)):
+                code = int(src, 16)
+                chars = bytes.fromhex(dst).decode("utf-16-be", "ignore")
+                mapping[code] = chars
+        for m in re.finditer(r"beginbfrange(.*?)endbfrange", text, re.S):
+            for lo, hi, dst in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                    m.group(1)):
+                lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
+                for code in range(lo_i, hi_i + 1):
+                    mapping[code] = chr(base + (code - lo_i))
+        return mapping or None
+
+    def decode(self, raw: bytes) -> str:
+        if self.to_unicode:
+            return "".join(self.to_unicode.get(b, chr(b)) for b in raw)
+        return raw.decode("latin-1")
+
+    def advance_units(self, raw: bytes) -> float:
+        if self.widths is not None and self.first_char is not None:
+            total = 0.0
+            for b in raw:
+                idx = b - int(self.first_char)
+                if 0 <= idx < len(self.widths):
+                    total += float(self.widths[idx])
+                else:
+                    total += _COURIER_WIDTH
+            return total
+        return _COURIER_WIDTH * len(raw)
+
+
+class _TextRun:
+    __slots__ = ("x", "y", "width", "size", "text", "font_key")
+
+    def __init__(self, x: float, y: float, width: float, size: float,
+                 text: str, font_key: str) -> None:
+        self.x = x
+        self.y = y
+        self.width = width
+        self.size = size
+        self.text = text
+        self.font_key = font_key
+
+
+def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], float, float]:
+    media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("/MediaBox"))
+                                             or [0, 0, 612, 792])]
+    page_w = media[2] - media[0]
+    page_h = media[3] - media[1]
+    resources = doc.resolve(page.get("/Resources")) or {}
+    font_res = doc.resolve(resources.get("/Font")) or {}
+    fonts = {name: _Font(doc, doc.resolve(fd)) for name, fd in font_res.items()}
+
+    contents = doc.resolve(page.get("/Contents"))
+    chunks: List[bytes] = []
+    for c in (contents if isinstance(contents, list) else [contents]):
+        c = doc.resolve(c)
+        if isinstance(c, Stream):
+            chunks.append(doc.stream_data(c))
+    content = b"\n".join(chunks)
+
+    runs: List[_TextRun] = []
+    lex = _Lexer(content)
+    stack: List = []
+    font: Optional[_Font] = None
+    font_key = ""
+    size = 12.0
+    leading = 0.0
+    # text line matrix origin (tx, ty); full matrix support limited to
+    # translation + scale via Tm (a,d used as scale on size/advance)
+    tx = ty = 0.0
+    line_x = line_y = 0.0
+    scale_x = scale_y = 1.0
+
+    def show(raw: bytes, adjust: float = 0.0) -> None:
+        nonlocal tx
+        if font is None or not raw:
+            return
+        text = font.decode(raw)
+        advance = font.advance_units(raw) / 1000.0 * size * scale_x
+        runs.append(_TextRun(tx, ty, advance, size * scale_y, text, font_key))
+        tx += advance
+
+    while True:
+        obj = lex.parse_object()
+        if obj is None and lex.pos >= len(lex.data):
+            break
+        if isinstance(obj, Keyword):
+            op = obj.name
+            if op == b"BT":
+                tx = ty = line_x = line_y = 0.0
+                stack.clear()
+            elif op == b"ET":
+                stack.clear()
+            elif op == b"Tf" and len(stack) >= 2:
+                size = float(stack[-1])
+                fname = stack[-2]
+                font = fonts.get(fname)
+                font_key = f"{fname}:{size:g}"
+            elif op == b"Td" and len(stack) >= 2:
+                line_x += float(stack[-2])
+                line_y += float(stack[-1])
+                tx, ty = line_x, line_y
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                line_x += float(stack[-2])
+                line_y += float(stack[-1])
+                tx, ty = line_x, line_y
+            elif op == b"TL" and len(stack) >= 1:
+                leading = float(stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
+                scale_x, scale_y = (a or 1.0), (d or 1.0)
+                line_x, line_y = e, f
+                tx, ty = e, f
+            elif op == b"T*":
+                line_y -= leading
+                tx, ty = line_x, line_y
+            elif op == b"Tj" and stack:
+                show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
+            elif op == b"'" and stack:
+                line_y -= leading
+                tx, ty = line_x, line_y
+                show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, (bytes, bytearray)):
+                        show(bytes(item))
+                    elif isinstance(item, (int, float)):
+                        tx -= float(item) / 1000.0 * size * scale_x
+            stack.clear()
+        else:
+            stack.append(obj)
+    return runs, page_w, page_h
+
+
+def pdf_to_page_xml(raw: bytes) -> List[str]:
+    """PDF bytes → list of pdftohtml-style <page> XML strings."""
+    doc = PdfDocument(raw)
+    out: List[str] = []
+    for num, page in enumerate(doc.pages(), start=1):
+        runs, page_w, page_h = _extract_page_runs(doc, page)
+        # fontspec table per unique (font resource, size)
+        spec_ids: Dict[str, int] = {}
+        specs: List[str] = []
+        texts: List[str] = []
+        for run in runs:
+            if run.font_key not in spec_ids:
+                spec_ids[run.font_key] = len(spec_ids)
+                specs.append(
+                    f'<fontspec id="{spec_ids[run.font_key]}" '
+                    f'size="{run.size:g}" family="Courier" color="#000000"/>')
+            size_px = math.floor(run.size * 4 / 3)
+            top = round(page_h - run.y - size_px)
+            left = round(run.x)
+            width = round(run.width)
+            texts.append(
+                f'<text top="{top}" left="{left}" width="{width}" '
+                f'height="{size_px}" font="{spec_ids[run.font_key]}">'
+                f"{escape(run.text)}</text>")
+        out.append(
+            f'<page number="{num}" width="{page_w:g}" height="{page_h:g}">'
+            + "".join(specs) + "".join(texts) + "</page>")
+    return out
