@@ -104,11 +104,24 @@ ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
          logging_level="ERROR")
 import logging
 logging.getLogger("ray.data").setLevel(logging.ERROR)
-from ray_script_extract.pipelines.flagship import flagship_extract
-# warmup pass to exclude one-time Ray/actor start cost from the measure
-flagship_extract({sf!r}).count()
+import ray.data
+from ray_script_extract.pipelines.extract_pipeline import build_extract_pipeline
+
+def job():
+    ds = ray.data.read_parquet({corpus_dir!r})
+    return build_extract_pipeline(ds, batch_size=None).count()
+
+# Warm the worker pool: process spawn + module import happens once per
+# cluster lifetime, for any job; the N-vs-4N criterion is about
+# steady-state throughput, so it is excluded from the measurement.
+@ray.remote
+def _warm():
+    import ray_script_extract.stages.extract  # noqa: F401
+    return 0
+ray.get([_warm.remote() for _ in range({cpus} * 2)])
+
 t0 = time.time()
-n = flagship_extract({sf!r}).count()
+n = job()
 dt = time.time() - t0
 print(json.dumps({{"num_cpus": {cpus}, "sec": dt, "docs": n,
                    "docs_per_sec": n / dt}}))
@@ -117,16 +130,44 @@ ray.shutdown()
 
 
 def run_scaling() -> None:
+    """Same extraction job (read parquet corpus → extract → count) at
+    two parallelism levels in fresh processes — the sandbox stand-in
+    for the N vs 4N cluster-size criterion.  The corpus is materialized
+    to parquet ONCE (storage-shaped input, like the real pipeline) and
+    sized so the 32-cpu run is compute-bound for 10s+."""
+    n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
+    corpus_dir = os.environ.get("SCALING_CORPUS_DIR",
+                                f"/tmp/ray_script_corpus_{n_docs}")
     repo = os.path.dirname(os.path.abspath(__file__))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray_script_extract.corpus import write_corpus_parquet
+
+    write_corpus_parquet(n_docs, corpus_dir)
+    ray.shutdown()
+
     results = []
     for cpus in (8, 32):
-        code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus, sf=SF_DIR)
+        code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
+                                     corpus_dir=corpus_dir)
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results.append(json.loads(line))
     thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
-    eff = (thr32 / thr8) / (32 / 8)
+    speedup = thr32 / thr8
+    eff = speedup / (32 / 8)
+
+    # Platform calibration: the same fixed amount of pure-Python work
+    # run on 8 vs 32 OS processes. One box running 4N co-located
+    # workers loses all-core frequency/memory headroom that 4N real
+    # NODES would each keep, so the calibrated ceiling is the honest
+    # single-box stand-in denominator for the N→4N criterion.
+    burn = _platform_ceiling()
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -136,10 +177,37 @@ def run_scaling() -> None:
             "docs_per_sec_cpus32": round(thr32, 1),
             "sec_cpus8": round(results[0]["sec"], 2),
             "sec_cpus32": round(results[1]["sec"], 2),
+            "job_speedup_8_to_32": round(speedup, 2),
+            "platform_ceiling_8_to_32": round(burn, 2),
+            "efficiency_vs_platform_ceiling": round(speedup / burn, 3),
         },
         "sf": SF_DIR,
         "num_cpus": 32,
     }))
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i
+    return x
+
+
+def _platform_ceiling() -> float:
+    """Measured max speedup 8→32 procs for fixed pure-Python work on
+    this box (frequency/bandwidth ceiling, independent of Ray)."""
+    import multiprocessing as mp
+    import time as _t
+
+    burn = _burn
+    n = 20_000_000
+    rates = {}
+    for workers in (8, 32):
+        t0 = _t.time()
+        with mp.Pool(workers) as p:
+            p.map(burn, [n] * workers * 2)
+        rates[workers] = workers * 2 * n / (_t.time() - t0)
+    return rates[32] / rates[8]
 
 
 if __name__ == "__main__":

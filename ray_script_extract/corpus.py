@@ -168,6 +168,42 @@ def make_corpus_table(num_docs: int, seed: int = 42,
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 
 
+def write_corpus_parquet(num_docs: int, out_dir: str, seed: int = 42,
+                         skewed: bool = True, docs_per_shard: int = 250) -> str:
+    """Materialize the synthetic corpus as partitioned parquet (one
+    file per shard, parallel Ray tasks).  Idempotent: returns early if
+    the expected shard files already exist.  This gives benchmarks the
+    real 100 TB shape — extraction reads Arrow from storage instead of
+    re-generating Python dicts through the object store."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    shards = [(s, min(docs_per_shard, num_docs - s))
+              for s in range(0, num_docs, docs_per_shard)]
+    paths = [os.path.join(out_dir, f"shard-{i:05d}.parquet")
+             for i in range(len(shards))]
+    if all(os.path.exists(p) for p in paths):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def write_shard(start: int, count: int, path: str) -> int:
+        rows = [make_doc(seed, i, size_class_for(i) if skewed else "small")
+                for i in range(start, start + count)]
+        table = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return count
+
+    ray.get([write_shard.remote(s, c, p)
+             for (s, c), p in zip(shards, paths)])
+    return out_dir
+
+
 def corpus_dataset(num_docs: int, seed: int = 42, skewed: bool = True,
                    docs_per_block: int = 200):
     """A lazy ray.data.Dataset over the synthetic corpus.

@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) stages: opaque binary payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The actual codec work is STUBBED (image/audio libraries are not in
+this container — `decode_image_real` raises NotImplementedError), but
+the Ray-side plumbing is real and tested: schema, batch sizing for
+large binary payloads, actor signature with per-actor "model" state,
+and deterministic fake features so downstream pipelines (similarity
+search over media embeddings, near-dup) can run end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_ref", pa.string()),
+    pa.field("doc_id", pa.string()),
+    pa.field("payload", pa.binary()),       # opaque bytes (may be empty)
+    pa.field("media_type", pa.string()),    # image | audio | video
+])
+
+FEATURE_DIM = 32
+
+
+def decode_image_real(payload: bytes) -> "np.ndarray":
+    """Real decode path — requires an image library not present in
+    this container.  The pipeline plumbing treats decode as a
+    per-element transform returning HxWxC uint8."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 (not installed); "
+        "use fake_feature for deterministic testing")
+
+
+def fake_feature(ref: str, payload: bytes) -> np.ndarray:
+    """Deterministic stand-in feature: hash → unit vector.  Replaces
+    the model forward pass so shapes/dtypes/batching are exercised."""
+    digest = hashlib.sha256(ref.encode() + payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))
+                        [:FEATURE_DIM * 4], dtype=np.uint32)
+    vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+    return vec / np.linalg.norm(vec)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: per-actor 'model' state loaded once in
+    __init__ (here: the fake projection matrix standing in for model
+    weights), per-batch vectorized feature extraction in __call__.
+
+    Use: ds.map_batches(MediaFeatureActor, batch_format="pyarrow",
+                        concurrency=(2, 8), batch_size=16, num_cpus=1)
+    — batch_size stays small because media payloads are large."""
+
+    def __init__(self, seed: int = 7) -> None:
+        rng = np.random.RandomState(seed)
+        self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        feats = np.vstack([fake_feature(r, p or b"") for r, p in
+                           zip(refs, payloads)]) if refs else \
+            np.zeros((0, FEATURE_DIM))
+        projected = feats @ self.projection.T
+        norms = np.linalg.norm(projected, axis=1, keepdims=True)
+        projected = projected / np.maximum(norms, 1e-12)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "doc_id": batch.column("doc_id"),
+            "media_type": batch.column("media_type"),
+            "feature": pa.array([row.tolist() for row in projected],
+                                pa.list_(pa.float64())),
+        })
+
+
+def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Derive the media table the flagship corpus implies (every 8th
+    document carries a content-addressed image ref)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        refs: List[str] = []
+        out_ids: List[str] = []
+        types: List[str] = []
+        payloads: List[bytes] = []
+        for did, text in zip(doc_ids, texts):
+            if did % 8 == 0:
+                digest = hashlib.sha256(text.encode()).hexdigest()
+                refs.append(f"img://sha256/{digest}")
+                out_ids.append(f"doc-{did:08d}")
+                types.append("image")
+                payloads.append(b"")  # payload fetch is out of scope here
+        return pa.Table.from_arrays([
+            pa.array(refs, pa.string()),
+            pa.array(out_ids, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(types, pa.string()),
+        ], schema=MEDIA_SCHEMA)
+
+    return ds.map_batches(to_media, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def media_features(sf_dir: str):
+    """Media feature-extraction pipeline (rows-only correctness:
+    model-scoring stage, not SQL-expressible).  Returns one feature
+    row per media ref, ordered by doc_id."""
+    ds = media_refs_from_documents(sf_dir)
+    out = ds.map_batches(MediaFeatureActor, batch_format="pyarrow",
+                         concurrency=(1, 4), batch_size=64,
+                         zero_copy_batch=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        feats = batch.column("feature")
+        dim = pa.array([len(f) for f in feats.to_pylist()], pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "feature_dim": dim,
+        })
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")

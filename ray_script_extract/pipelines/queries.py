@@ -564,6 +564,19 @@ ORDER BY id_a, id_b
 # Registry
 # ---------------------------------------------------------------------------
 
+from .dedup import (  # noqa: E402
+    NGRAM_JACCARD_SQL,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from .multimodal import media_features  # noqa: E402
+from .text_analysis import (  # noqa: E402
+    DOC_QUALITY_SQL,
+    doc_quality,
+    langid_ngram,
+)
+
 QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -578,6 +591,12 @@ QUERIES: Dict[str, Callable] = {
     "doc_fingerprint": doc_fingerprint,
     "knn_cosine": knn_cosine,
     "near_dup_embeddings": near_dup_embeddings,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "doc_quality": doc_quality,
+    "langid_ngram": langid_ngram,
+    "media_features": media_features,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -594,4 +613,9 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "knn_cosine": KNN_COSINE_SQL,
     "near_dup_embeddings": NEAR_DUP_EMB_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    # dedup_minhash_lsh, dedup_simhash, langid_ngram, media_features:
+    # non-SQL-expressible (LSH banding, simhash popcount, profile
+    # classifier, model scoring) → rows-only checks
 }

@@ -1,0 +1,144 @@
+"""Text analysis operators: language-ID, quality scoring,
+document statistics.  Quality metrics are integer-valued end-to-end
+(counts and floor-percentages), so `doc_quality` has an exact DuckDB
+oracle; the n-gram language-ID is a real profile-based classifier
+(rows-only check — not SQL-expressible)."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+_STOP_SET = frozenset(STOPWORDS)
+
+# Seed wordlists for the n-gram language profiles (public common-word
+# lists; the profile machinery is the operator under test).
+_LANG_SEEDS: Dict[str, str] = {
+    "en": "the of and to in is you that it he was for on are as with his they",
+    "es": "de la que el en y a los del se las por un para con no una su al",
+    "fr": "de la le et les des en un du une que est pour qui dans par sur",
+    "de": "der die und in den von zu das mit sich des auf ist nicht ein",
+    "zh": "de shi bu le ren wo zai you ta zhe ge men lai dao shuo ni qu",
+}
+
+
+def _trigram_profile(text: str) -> Dict[str, int]:
+    t = f"  {text.lower()}  "
+    out: Dict[str, int] = {}
+    for i in range(len(t) - 2):
+        g = t[i:i + 3]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+_PROFILES = {lang: _trigram_profile(seed) for lang, seed in _LANG_SEEDS.items()}
+_PROFILE_NORMS = {lang: float(np.sqrt(sum(v * v for v in p.values())))
+                  for lang, p in _PROFILES.items()}
+
+
+def predict_lang(text: str) -> str:
+    """Cosine similarity of char-trigram counts vs per-language seed
+    profiles; deterministic tie-break by language code."""
+    doc = _trigram_profile(text[:2000])
+    if not doc:
+        return "und"
+    doc_norm = float(np.sqrt(sum(v * v for v in doc.values())))
+    best = ("und", -1.0)
+    for lang in sorted(_PROFILES):
+        prof = _PROFILES[lang]
+        dot = sum(cnt * prof.get(g, 0) for g, cnt in doc.items())
+        score = dot / (doc_norm * _PROFILE_NORMS[lang])
+        if score > best[1]:
+            best = (lang, score)
+    return best[0]
+
+
+def langid_ngram(sf_dir: str):
+    """Per-document predicted language (rows-only correctness)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "declared_lang": batch.column("lang"),
+            "pred_lang": pa.array([predict_lang(t) for t in texts], pa.string()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+def doc_quality(sf_dir: str):
+    """Integer quality metrics per document + a bucketed verdict.
+
+    All derived values are integers computed identically in the SQL
+    oracle: token count (RE2 \\S+), stopword count, long-token count
+    (≥8 chars), floor-percentages, and a CASE bucket."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        n_long = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            n_tokens[i] = len(toks)
+            n_stop[i] = sum(1 for x in toks if x in _STOP_SET)
+            n_long[i] = sum(1 for x in toks if len(x) >= 8)
+        denom = np.maximum(n_tokens, 1)
+        stop_pct = np.floor(100.0 * n_stop / denom).astype(np.int64)
+        long_pct = np.floor(100.0 * n_long / denom).astype(np.int64)
+        bucket = np.where(n_tokens < 5, "too_short",
+                          np.where(stop_pct > 40, "boilerplate",
+                                   np.where(long_pct > 50, "jargon", "ok")))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "n_long_tokens": pa.array(n_long, pa.int64()),
+            "stop_pct": pa.array(stop_pct, pa.int64()),
+            "long_pct": pa.array(long_pct, pa.int64()),
+            "quality_bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+_STOP_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST}))) AS n_stopwords,
+         len(list_filter(toks, x -> length(x) >= 8)) AS n_long_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stopwords, n_long_tokens,
+       CAST(FLOOR(100.0 * n_stopwords / GREATEST(n_tokens, 1)) AS BIGINT) AS stop_pct,
+       CAST(FLOOR(100.0 * n_long_tokens / GREATEST(n_tokens, 1)) AS BIGINT) AS long_pct,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN FLOOR(100.0 * n_stopwords / GREATEST(n_tokens, 1)) > 40 THEN 'boilerplate'
+            WHEN FLOOR(100.0 * n_long_tokens / GREATEST(n_tokens, 1)) > 50 THEN 'jargon'
+            ELSE 'ok' END AS quality_bucket
+FROM m ORDER BY doc_id
+"""
