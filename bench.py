@@ -120,11 +120,18 @@ def _warm():
     return 0
 ray.get([_warm.remote() for _ in range({cpus} * 2)])
 
-t0 = time.time()
-n = job()
-dt = time.time() - t0
-print(json.dumps({{"num_cpus": {cpus}, "sec": dt, "docs": n,
-                   "docs_per_sec": n / dt}}))
+# best-of-3: the box shows ±50% run-to-run aggregate-throughput noise
+# (co-tenants / frequency), so the minimum is the least-contaminated
+# estimate of the job's true cost at this parallelism.
+best = None
+for _ in range(3):
+    t0 = time.time()
+    n = job()
+    dt = time.time() - t0
+    if best is None or dt < best:
+        best = dt
+print(json.dumps({{"num_cpus": {cpus}, "sec": best, "docs": n,
+                   "docs_per_sec": n / best}}))
 ray.shutdown()
 """
 
@@ -147,7 +154,7 @@ def run_scaling() -> None:
                  logging_level="ERROR")
     from ray_script_extract.corpus import write_corpus_parquet
 
-    write_corpus_parquet(n_docs, corpus_dir)
+    write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=50)
     ray.shutdown()
 
     results = []

@@ -624,7 +624,13 @@ class TextParser:
 
 
 def parse_pages_xml(pages: List[str]) -> List[ScriptObject]:
-    """Full document extraction: page-XML strings → ScriptObjects.
+    return parse_pages_xml_full(pages)[0]
+
+
+def parse_pages_xml_full(pages: List[str]):
+    """Full document extraction: page-XML strings → (ScriptObjects,
+    DocState) — the state carries headers/footers/colors/continued
+    flags for the JSON writer and revision inference.
 
     Mirrors parse_xml_file (ParseText.php:28-654) including the
     form-feed quirk: a single-page document's only \f is the trailing
@@ -660,4 +666,4 @@ def parse_pages_xml(pages: List[str]) -> List[ScriptObject]:
         if lines_this_page:
             parser.parse_page(lines_this_page, False, last_given)
     # else: the reference's undefined-$lines branch → no objects
-    return parser.objects
+    return parser.objects, state

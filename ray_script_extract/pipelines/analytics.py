@@ -1,0 +1,177 @@
+"""Corpus analytics over extracted spans — the reference's Analyzer
+(`/root/reference/src/parser/analyzer/Analyzer.php:348-590`)
+re-expressed as genuinely relational Ray Data operations: the per-doc
+scene/dialog graph walk happens inside ``map_batches`` (sequential per
+document, as in the reference), and the cross-corpus rollups become
+``groupby`` aggregations.
+
+Character-name normalization ports the reference's semantics:
+uppercase + trim + NBSP trim (`Analyzer.php:389-397`), trailing
+``(MOD)``/``[MOD]`` modifiers split off repeatedly (`:302-319`), and
+multi-speaker headings split on ``&`` / `` AND `` / commas
+(`:399-443`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+_AND_SPLIT = re.compile(r"(&| AND )", re.IGNORECASE)
+
+
+def split_character_modifier(name: str) -> Tuple[str, str]:
+    """Pull trailing (MOD)/[MOD] off a character name, repeating."""
+    modifier = ""
+    while name[-1:] in (")", "]"):
+        paren_begins = name.rfind("(")
+        if paren_begins == -1:
+            paren_begins = name.rfind("[")
+        if paren_begins != -1:
+            trimmed = name[:paren_begins].strip()
+            if trimmed != "":
+                modifier = name[paren_begins + 1:len(name) - 1].strip()
+                name = trimmed
+            else:
+                break
+        else:
+            break
+    return name, modifier
+
+
+def strip_parens(name: str) -> str:
+    return split_character_modifier(name)[0]
+
+
+def normalize_character(name: str) -> str:
+    return name.upper().strip().strip(" ")
+
+
+def split_speakers(heading: str) -> List[str]:
+    """Split "X & Y", "X AND Y", "X, Y AND Z" into speaker names,
+    keeping parenthetical chunks intact (Analyzer.php:404-443)."""
+    pieces_temp = _AND_SPLIT.split(heading)
+    pieces: List[str] = []
+    num = 0
+    while num < len(pieces_temp):
+        name = pieces_temp[num]
+        paren_begins = name.rfind("(")
+        close = ")"
+        if paren_begins == -1:
+            paren_begins = name.rfind("[")
+            close = "]"
+        if paren_begins != -1:
+            if name.find(close, paren_begins) == -1 and num + 2 < len(pieces_temp):
+                pieces_temp[num] = (pieces_temp[num] + pieces_temp[num + 1]
+                                    + pieces_temp[num + 2])
+                del pieces_temp[num + 1:num + 3]
+                continue
+        pieces.append(name)
+        num += 2
+    if len(pieces) > 1:
+        expanded: List[str] = []
+        for p in pieces:
+            expanded.extend(p.split(","))
+        pieces = expanded
+    out: List[str] = []
+    for p in pieces:
+        p = p.strip()
+        if p == "":
+            continue
+        p, _mod = split_character_modifier(p)
+        if p != "":
+            out.append(normalize_character(p))
+    return out
+
+
+def _doc_dialog_counts(spans: List[Dict]) -> Dict[str, Tuple[int, int]]:
+    """Per-doc walk: each Dialogue span is attributed to the current
+    speaker(s); returns name -> (n_speeches, n_dialog_words)."""
+    counts: Dict[str, List[int]] = {}
+    current: List[str] = []
+    last_was_character = False
+    for span in spans:
+        kind = span["kind"]
+        if kind == "Character":
+            names = split_speakers(strip_parens(span["text"]))
+            current = names if names else current
+            last_was_character = True
+            for n in names:
+                counts.setdefault(n, [0, 0])[0] += 1
+        elif kind in ("Dialogue", "Parens"):
+            if kind == "Dialogue":
+                words = len(span["text"].split())
+                for n in current:
+                    counts.setdefault(n, [0, 0])[1] += words
+            last_was_character = False
+        elif kind in ("Scene", "Action", "Transition", "New Act", "Shot"):
+            current = []
+            last_was_character = False
+    return {k: (v[0], v[1]) for k, v in counts.items()}
+
+
+def character_dialog_counts(sf_dir: str, top_k: int = 25):
+    """Corpus-wide top speakers: per-doc graph walk inside map_batches,
+    then a small groupby(character) rollup + sort/limit."""
+    from .flagship import flagship_extract
+
+    ds = flagship_extract(sf_dir)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        names: List[str] = []
+        speeches: List[int] = []
+        words: List[int] = []
+        for spans in batch.column("spans").to_pylist():
+            for name, (n_sp, n_w) in _doc_dialog_counts(spans or []).items():
+                names.append(name)
+                speeches.append(n_sp)
+                words.append(n_w)
+        return pa.table({
+            "character": pa.array(names, pa.string()),
+            "n_speeches": pa.array(speeches, pa.int64()),
+            "n_words": pa.array(words, pa.int64()),
+        })
+
+    return (ds.map_batches(per_doc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("character")
+              .aggregate(Sum("n_speeches", alias_name="n_speeches"),
+                         Sum("n_words", alias_name="n_words"))
+              .sort(["n_speeches", "character"], descending=[True, False])
+              .limit(top_k))
+
+
+def scene_stats(sf_dir: str):
+    """Scene segmentation stats per document: scenes begin at Scene
+    spans (Analyzer.php:528-543); rollup = corpus totals."""
+    from .flagship import flagship_extract
+
+    ds = flagship_extract(sf_dir)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        n_scenes: List[int] = []
+        n_dialog: List[int] = []
+        n_action: List[int] = []
+        for spans in batch.column("spans").to_pylist():
+            scenes = sum(1 for s in (spans or []) if s["kind"] == "Scene")
+            dialog = sum(1 for s in (spans or []) if s["kind"] == "Dialogue")
+            action = sum(1 for s in (spans or []) if s["kind"] == "Action")
+            n_scenes.append(scenes)
+            n_dialog.append(dialog)
+            n_action.append(action)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "n_scenes": pa.array(n_scenes, pa.int64()),
+            "n_dialogue": pa.array(n_dialog, pa.int64()),
+            "n_action": pa.array(n_action, pa.int64()),
+        })
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

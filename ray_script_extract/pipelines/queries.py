@@ -570,6 +570,7 @@ from .dedup import (  # noqa: E402
     dedup_ngram_jaccard,
     dedup_simhash,
 )
+from .analytics import character_dialog_counts, scene_stats  # noqa: E402
 from .multimodal import media_features  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
@@ -597,6 +598,8 @@ QUERIES: Dict[str, Callable] = {
     "doc_quality": doc_quality,
     "langid_ngram": langid_ngram,
     "media_features": media_features,
+    "character_dialog_counts": character_dialog_counts,
+    "scene_stats": scene_stats,
 }
 
 ORACLE_SQL: Dict[str, str] = {
