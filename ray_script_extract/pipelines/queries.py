@@ -253,6 +253,119 @@ ORDER BY p_brand
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """Filtered aggregate with read-time pruning: only 3 columns leave
+    storage; the filter is a vectorized Arrow kernel; the result is a
+    single row (sum of discounted revenue for mid-range quantities)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        keep = (qty < 24) & (disc >= 0.05) & (disc <= 0.07)
+        cents = _cents_np(price[keep] * disc[keep])
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(None)  # global aggregate of per-block partials
+             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                        Sum("n_items", alias_name="n_items")))
+    return out
+
+
+Q6_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+
+def distinct_part_types(sf_dir: str):
+    """Distinct (set op): unique part types with counts."""
+    ds = _read(sf_dir, "part", ["p_type"])
+    return (ds.groupby("p_type").aggregate(Count(alias_name="n_parts"))
+              .sort("p_type"))
+
+
+DISTINCT_PART_TYPES_SQL = """
+SELECT p_type, COUNT(*) AS n_parts FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+def top_lineitems_by_price(sf_dir: str, k: int = 15):
+    """Global top-k with deterministic tie-break — distributed sort +
+    limit (only k rows reach the driver)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "price_cents": pa.array(_cents_np(price), pa.int64()),
+        })
+
+    return (ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+              .sort(["price_cents", "l_orderkey", "l_linenumber"],
+                    descending=[True, False, False])
+              .limit(k))
+
+
+TOP_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents
+FROM lineitem
+ORDER BY price_cents DESC, l_orderkey, l_linenumber
+LIMIT 15
+"""
+
+
+def union_key_accounts(sf_dir: str):
+    """Union (set op): customers and suppliers as one 'accounts'
+    relation with a role tag, aggregated per role+nation."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def tag(role: str, key_col: str, nat_col: str, bal_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            bal = batch.column(bal_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "role": pa.array([role] * len(batch), pa.string()),
+                "nationkey": pc.cast(batch.column(nat_col), pa.int64()),
+                "acctbal_cents": pa.array(_cents_np(bal), pa.int64()),
+            })
+        return fn
+
+    unioned = cust.map_batches(tag("customer", "c_custkey", "c_nationkey",
+                                   "c_acctbal"), batch_format="pyarrow") \
+                  .union(supp.map_batches(tag("supplier", "s_suppkey",
+                                              "s_nationkey", "s_acctbal"),
+                                          batch_format="pyarrow"))
+    return (unioned.groupby(["role", "nationkey"])
+                   .aggregate(Count(alias_name="n_accounts"),
+                              Sum("acctbal_cents", alias_name="total_bal_cents"))
+                   .sort(["role", "nationkey"]))
+
+
+UNION_ACCOUNTS_SQL = """
+SELECT role, nationkey, COUNT(*) AS n_accounts,
+       SUM(CAST(FLOOR(acctbal*100 + 0.5) AS BIGINT)) AS total_bal_cents
+FROM (
+  SELECT 'customer' AS role, CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier', CAST(s_nationkey AS BIGINT), s_acctbal FROM supplier
+)
+GROUP BY role, nationkey ORDER BY role, nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events (stream-shaped table)
 # ---------------------------------------------------------------------------
@@ -582,7 +695,11 @@ QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "top_brands_by_revenue": top_brands_by_revenue,
+    "distinct_part_types": distinct_part_types,
+    "top_lineitems_by_price": top_lineitems_by_price,
+    "union_key_accounts": union_key_accounts,
     "events_by_type": events_by_type,
     "daily_event_counts": daily_event_counts,
     "events_sessionize": events_sessionize,
@@ -602,11 +719,19 @@ QUERIES: Dict[str, Callable] = {
     "scene_stats": scene_stats,
 }
 
+from .similarity import knn_cosine_ivf  # noqa: E402
+
+QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
+
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "top_brands_by_revenue": TOP_BRANDS_SQL,
+    "distinct_part_types": DISTINCT_PART_TYPES_SQL,
+    "top_lineitems_by_price": TOP_LINEITEMS_SQL,
+    "union_key_accounts": UNION_ACCOUNTS_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "daily_event_counts": DAILY_EVENTS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
