@@ -87,9 +87,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(sf_dir: str):
-    """Top-10 orders by revenue: large⨝large hash join
-    (lineitem ⨝ orders via Dataset.join) then sort+limit."""
+def _q3_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def add_rev(batch: pa.Table) -> pa.Table:
@@ -103,11 +101,34 @@ def q3_top_orders(sf_dir: str):
     rev = (li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
              .groupby("l_orderkey")
              .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return rev, orders
+
+
+def q3_top_orders(sf_dir: str):
+    """Top-10 orders by revenue: large⨝large partitioned shuffle join
+    (task-only hash_join_via_groupby) then sort+limit."""
+    from .joins import hash_join_via_groupby
+
+    rev, orders = _q3_revenue(sf_dir)
+    joined = hash_join_via_groupby(rev, orders, "l_orderkey", "o_orderkey")
+    out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+                 .limit(10)
+                 .map_batches(lambda b: b.select(
+                     ["l_orderkey", "o_orderpriority", "revenue_cents"])
+                     .rename_columns(["o_orderkey", "o_orderpriority",
+                                      "revenue_cents"]),
+                     batch_format="pyarrow"))
+    return out
+
+
+def q3_top_orders_native(sf_dir: str):
+    """Same query via Ray Data's built-in hash join (aggregator actor
+    pool) — kept as the API-parity variant; ~15 s actor-pool cold
+    start per run on this sandbox."""
+    rev, orders = _q3_revenue(sf_dir)
     joined = rev.join(orders, join_type="inner", num_partitions=8,
                       on=("l_orderkey",), right_on=("o_orderkey",))
-    # the hash join keeps the left key name; restore the orders name
     out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
                  .limit(10)
                  .map_batches(lambda b: b.select(
@@ -694,6 +715,7 @@ from .text_analysis import (  # noqa: E402
 QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q3_top_orders_native": q3_top_orders_native,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top_brands_by_revenue": top_brands_by_revenue,
@@ -726,6 +748,7 @@ QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q3_top_orders_native": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top_brands_by_revenue": TOP_BRANDS_SQL,
