@@ -27,16 +27,28 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "top_brands_by_revenue",
+    "distinct_part_types",
+    "top_lineitems_by_price",
+    "union_key_accounts",
     "events_by_type",
     "daily_event_counts",
     "events_sessionize",
+    "events_asof_last_signup",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "doc_token_stats",
     "word_frequency",
     "doc_fingerprint",
+    "doc_quality",
+    "langid_ngram",
     "knn_cosine",
+    "knn_cosine_ivf",
     "near_dup_embeddings",
+    "character_dialog_counts",
 ]
 
 

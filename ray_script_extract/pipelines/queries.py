@@ -449,6 +449,49 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_asof_last_signup(sf_dir: str):
+    """As-of join (a custom operator Ray Data lacks): for every
+    purchase event, the timestamp of the same user's most recent prior
+    signup.  Implemented as hash-partition by user + per-group sorted
+    vectorized searchsorted — the partitioning assumption is that one
+    user's history fits one group (true for keyed user streams).
+    Output timestamps as epoch micros (int64, -1 = none) so the SQL
+    oracle compares exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts_us = (df["ts"].astype("datetime64[ns]").astype("int64")
+                 // 1000).to_numpy()  # ns -> epoch micros
+        is_signup = (df["event_type"] == "signup").to_numpy()
+        signup_ts = ts_us[is_signup]
+        purchases = df[df["event_type"] == "purchase"]
+        p_ts = ts_us[(df["event_type"] == "purchase").to_numpy()]
+        idx = np.searchsorted(signup_ts, p_ts, side="left") - 1
+        last = np.where(idx >= 0, signup_ts[np.maximum(idx, 0)], -1)
+        return pd.DataFrame({
+            "event_id": purchases["event_id"].to_numpy(),
+            "user_id": purchases["user_id"].to_numpy(),
+            "last_signup_us": last.astype(np.int64),
+        })
+
+    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT CAST(epoch_us(MAX(s.ts)) AS BIGINT)
+                 FROM events s
+                 WHERE s.user_id = e.user_id
+                   AND s.event_type = 'signup'
+                   AND s.ts < e.ts), -1) AS last_signup_us
+FROM events e
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
     the canonical keyed-stream op: hash-partition by user, per-group
@@ -725,6 +768,7 @@ QUERIES: Dict[str, Callable] = {
     "events_by_type": events_by_type,
     "daily_event_counts": daily_event_counts,
     "events_sessionize": events_sessionize,
+    "events_asof_last_signup": events_asof_last_signup,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
     "word_frequency": word_frequency,
@@ -758,6 +802,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "daily_event_counts": DAILY_EVENTS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_asof_last_signup": EVENTS_ASOF_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "word_frequency": WORD_FREQUENCY_SQL,
