@@ -18,17 +18,31 @@ from typing import Optional
 import ray.data
 
 
+HEAVY_BUCKET_THRESHOLD = 17  # 2^17 = 128 KiB of span text
+
+
 def build_extract_pipeline(ds: "ray.data.Dataset", *,
                            concurrency=None,
                            batch_size: int = 32,
-                           mode: str = "tasks") -> "ray.data.Dataset":
+                           mode: str = "tasks",
+                           skew_defuse: bool = False) -> "ray.data.Dataset":
     """mode="tasks" (default): plain task pool with module-level warm
     state — pre-started Ray workers are reused, so the compiled
     predicate tables are built once per worker process.  mode="actors":
     explicit actor pool; use when the stage grows genuinely per-actor
     state (model weights, mutable caches) — on this box a cold 32-actor
     pool costs ~60 s of spawn before the first batch, so it is not the
-    default for regex-warm-state-only extraction."""
+    default for regex-warm-state-only extraction.
+
+    skew_defuse=True splits the stream on the size bucket: heavy docs
+    (≥ 2^17 bytes of span text — multi-hundred-page outliers) go
+    through the extract stage at batch_size=1 so one outlier never
+    rides in a batch with many friends (and never pins a whole block's
+    worth of light docs behind it); the light branch keeps the large
+    batch size. The two branches re-union afterwards — order across
+    branches is not span order (per-doc spans stay ordered)."""
+    import pyarrow.compute as pc
+
     import ray
 
     from ..stages.extract import ExtractorActor, extract_batch
@@ -36,17 +50,35 @@ def build_extract_pipeline(ds: "ray.data.Dataset", *,
 
     ds = ds.map_batches(add_size_stats, batch_format="pyarrow",
                         zero_copy_batch=True)
-    if mode == "actors":
-        if concurrency is None:
-            n_cpus = int(ray.cluster_resources().get("CPU", 4))
-            concurrency = (1, max(1, n_cpus - 1))
-        ds = ds.map_batches(ExtractorActor, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=concurrency,
-                            zero_copy_batch=True)
-    else:
-        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
-                            batch_size=batch_size, zero_copy_batch=True)
-    return ds
+
+    def run_extract(d: "ray.data.Dataset", bs) -> "ray.data.Dataset":
+        if mode == "actors":
+            conc = concurrency
+            if conc is None:
+                n_cpus = int(ray.cluster_resources().get("CPU", 4))
+                conc = (1, max(1, n_cpus - 1))
+            return d.map_batches(ExtractorActor, batch_format="pyarrow",
+                                 batch_size=bs, concurrency=conc,
+                                 zero_copy_batch=True)
+        return d.map_batches(extract_batch, batch_format="pyarrow",
+                             batch_size=bs, zero_copy_batch=True)
+
+    if skew_defuse:
+        def _split(keep_heavy: bool):
+            def fn(batch):
+                mask = pc.greater_equal(batch.column("size_bucket"),
+                                        HEAVY_BUCKET_THRESHOLD)
+                if not keep_heavy:
+                    mask = pc.invert(mask)
+                return batch.filter(mask)
+            return fn
+
+        heavy = ds.map_batches(_split(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        light = ds.map_batches(_split(False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return run_extract(heavy, 1).union(run_extract(light, batch_size))
+    return run_extract(ds, batch_size)
 
 
 def extract_corpus(num_docs: int, seed: int = 42, *,

@@ -492,6 +492,43 @@ ORDER BY e.event_id
 """
 
 
+def event_value_percentiles(sf_dir: str):
+    """Discrete percentiles (p50/p90) of event value per type — exact
+    on both engines because percentile_disc picks an actual element
+    (no interpolation): the element at index ceil(p*n)-1 of the sorted
+    values.  Distributed shape: hash-partition by type, per-group
+    vectorized sort (each type's values fit a group; for heavy-hitter
+    keys this would become a t-digest sketch)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(_cents_np(df["value"].to_numpy()))
+        n = len(cents)
+
+        def disc(p: float) -> int:
+            idx = max(int(np.ceil(p * n)) - 1, 0)
+            return int(cents[idx])
+
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "p50_cents": np.array([disc(0.5)], dtype=np.int64),
+            "p90_cents": np.array([disc(0.9)], dtype=np.int64),
+            "n_events": np.array([n], dtype=np.int64),
+        })
+
+    return (ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+              .sort("event_type"))
+
+
+EVENT_PERCENTILES_SQL = """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p50_cents,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p90_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
     the canonical keyed-stream op: hash-partition by user, per-group
@@ -769,6 +806,7 @@ QUERIES: Dict[str, Callable] = {
     "daily_event_counts": daily_event_counts,
     "events_sessionize": events_sessionize,
     "events_asof_last_signup": events_asof_last_signup,
+    "event_value_percentiles": event_value_percentiles,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
     "word_frequency": word_frequency,
@@ -803,6 +841,7 @@ ORACLE_SQL: Dict[str, str] = {
     "daily_event_counts": DAILY_EVENTS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_asof_last_signup": EVENTS_ASOF_SQL,
+    "event_value_percentiles": EVENT_PERCENTILES_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "word_frequency": WORD_FREQUENCY_SQL,
