@@ -62,10 +62,19 @@ _WHITE_OUT_TERMS = ("CONTINUED:", "(CONTINUED)", "(CONT)", "(CONT.)",
                     "(CONTD)", "(CONT'D)", "(CONT’D)", "(MORE)",
                     "[CONTINUED]", "[CONT]", "[CONT.]", "[CONTD]",
                     "[CONT'D]", "[CONT’D]", "[MORE]")
-_WHITE_OUT_RES = []
+_WHITE_OUT_VARIANTS = []
 for _t in _WHITE_OUT_TERMS:
     for _v in (_t, _t.replace("'", "’"), _t.replace("'", "‘")):
-        _WHITE_OUT_RES.append((re.compile(re.escape(_v), re.IGNORECASE), len(_v)))
+        if _v not in _WHITE_OUT_VARIANTS:
+            _WHITE_OUT_VARIANTS.append(_v)
+# one alternation pass replaces the 45 sequential subs; terms are
+# mutually non-substring so longest-first alternation is equivalent
+_WHITE_OUT_ONE = re.compile(
+    "|".join(re.escape(v) for v in
+             sorted(_WHITE_OUT_VARIANTS, key=len, reverse=True)),
+    re.IGNORECASE)
+# cheap pre-filter: every term contains one of these anchors
+_WHITE_OUT_ANCHOR = re.compile(r"CONT|MORE", re.IGNORECASE)
 
 _SERIES_INDENT_SPACED = re.compile(r"^(\(?[A-Z][.)]\)?[ ]+)")
 _SERIES_INDENT_ALONE = re.compile(r"^(\(?[A-Z][.)]\)?)$")
@@ -79,9 +88,9 @@ _HYPHEN_END_RE = re.compile(r"[A-Za-z0-9]-$")
 
 
 def white_out(text: str) -> str:
-    for rx, n in _WHITE_OUT_RES:
-        text = rx.sub(" " * n, text)
-    return text
+    if not _WHITE_OUT_ANCHOR.search(text):
+        return text
+    return _WHITE_OUT_ONE.sub(lambda m: " " * (m.end() - m.start()), text)
 
 
 def get_alignment(x: float, width: float, default_left_margin: float,
