@@ -137,12 +137,25 @@ def maybe_break_up_last_dialog(objects: List[ScriptObject]) -> None:
 
 
 class TextParser:
-    def __init__(self, colors) -> None:
+    """``debug_sink`` (optional callable ``(stage_name, blocks)``)
+    mirrors the reference's 8 ``$DUMP_BLOCKS`` dump points
+    (ParseText.php:1177-1677) — a stage-snapshot hook for differential
+    conformance debugging."""
+
+    def __init__(self, colors, debug_sink=None) -> None:
         self.objects: List[ScriptObject] = []
         self.num_pages = 0
         self.given_page_num = ""
         self.colors = colors
         self._timer = SeriesTimer()
+        self._debug_sink = debug_sink
+
+    def _snap(self, stage: str, blocks: List[Block]) -> None:
+        if self._debug_sink is not None:
+            self._debug_sink(stage, [
+                {"kind": b.kind, "x": b.x, "y": b.y,
+                 "unsure": b.classification_is_unsure,
+                 "lines": list(b.lines)} for b in blocks])
 
     # ------------------------------------------------------------------
     def parse_page(self, line_objects: List[LineObject],
@@ -247,6 +260,7 @@ class TextParser:
                 last_combined = len(blocks) - 1
 
         maybe_merge_across_intersentence_spaces(blocks)
+        self._snap("before_classify", blocks)
 
         # --- classify based on content -------------------------------
         for bx, block in enumerate(blocks):
@@ -254,6 +268,7 @@ class TextParser:
             if prev_kind == "Page Number":
                 prev_kind = blocks[bx - 2].kind if bx > 1 else last_page_block_kind
             block.classify_based_on_content(prev_kind, bx)
+        self._snap("after_classify", blocks)
 
         likely_indent_for = nextgen_compute_indents(blocks)
         if likely_indent_for is False:
@@ -288,6 +303,8 @@ class TextParser:
                     and blocks[ax - 1].is_uppercase_single_line()):
                 blocks[ax - 1].kind = "Transition"
 
+        self._snap("after_reclassify_indent", blocks)
+
         # --- Unknown at modal indent → Slugline/Action ---------------
         likely2: Dict[str, object] = {}
         for v in ("Character", "Dialog", "Slugline", "Action", "Unknown"):
@@ -302,6 +319,8 @@ class TextParser:
                     block.kind = ("Slugline" if is_uppercase(block.lines[0])
                                   else "Action")
                     block.classification_is_unsure = True
+
+        self._snap("after_unknown_modal", blocks)
 
         # --- Dialog-after-slug demotion ------------------------------
         for ax, block in enumerate(blocks):
@@ -389,7 +408,9 @@ class TextParser:
             previous_character.kind = "Slugline" if is_slug else "Action"
 
         # --- dual-dialog reconstruction ------------------------------
+        self._snap("before_dual_dialog", blocks)
         self._reconstruct_dual_dialog(blocks)
+        self._snap("after_dual_dialog", blocks)
 
         # --- Unknown → final kind ------------------------------------
         for block_index, block in enumerate(blocks):
@@ -404,6 +425,8 @@ class TextParser:
                             kind = "Text"
                 block.kind = kind
 
+        self._snap("after_unknown_final", blocks)
+
         # --- Action → Text/Shot by vertical spacing ------------------
         for block_index, block in enumerate(blocks):
             if block.kind == "Action":
@@ -413,6 +436,8 @@ class TextParser:
                     elif (block_index >= 2 and blocks[block_index - 2].is_blank()
                           and block.is_uppercase_single_line()):
                         block.kind = "Shot"
+
+        self._snap("after_action_spacing", blocks)
 
         # --- margin-blank removal ------------------------------------
         removed = [False] * len(blocks)
@@ -443,6 +468,8 @@ class TextParser:
                 seen_real_line = True
                 i += 1
         blocks = [b for ix, b in enumerate(blocks) if not removed[ix]]
+
+        self._snap("after_blank_removal", blocks)
 
         # --- blocks → ScriptObjects ----------------------------------
         objects: List[ScriptObject] = []
