@@ -132,18 +132,11 @@ def _warm():
     return 0
 ray.get([_warm.remote() for _ in range({cpus} * 2)])
 
-# best-of-3: the box shows ±50% run-to-run aggregate-throughput noise
-# (co-tenants / frequency), so the minimum is the least-contaminated
-# estimate of the job's true cost at this parallelism.
-best = None
-for _ in range(3):
-    t0 = time.time()
-    n = job()
-    dt = time.time() - t0
-    if best is None or dt < best:
-        best = dt
-print(json.dumps({{"num_cpus": {cpus}, "sec": best, "docs": n,
-                   "docs_per_sec": n / best}}))
+t0 = time.time()
+n = job()
+dt = time.time() - t0
+print(json.dumps({{"num_cpus": {cpus}, "sec": dt, "docs": n,
+                   "docs_per_sec": n / dt}}))
 ray.shutdown()
 """
 
@@ -169,14 +162,23 @@ def run_scaling() -> None:
     write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=50)
     ray.shutdown()
 
-    results = []
-    for cpus in (8, 32):
-        code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
-                                     corpus_dir=corpus_dir)
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+    # Interleave 8/32-cpu children across three time windows and take
+    # the best per level: this box's aggregate throughput drifts ±50%
+    # on minute scales (co-tenants), so same-window pairs + best-of
+    # absorb the weather that poisoned sequential one-shot runs.
+    best = {8: None, 32: None}
+    for _ in range(3):
+        for cpus in (8, 32):
+            code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
+                                         corpus_dir=corpus_dir)
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best[cpus] is None or r["sec"] < best[cpus]["sec"]:
+                best[cpus] = r
+    results = [best[8], best[32]]
     thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     speedup = thr32 / thr8
     eff = speedup / (32 / 8)

@@ -88,13 +88,23 @@ class ExtractorActor:
         flush_pages()
         return out
 
+    # the reference rejects uploads over 20 MB with HTTP 413
+    # (convert_script.controller.ts:95-98); here it's a per-row guard
+    MAX_DOC_BYTES = 20 * 1024 * 1024
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
+        sizes = (batch.column("doc_bytes").to_pylist()
+                 if "doc_bytes" in batch.column_names
+                 else [None] * len(doc_ids))
         out_spans: List[List[Dict]] = []
         n_spans: List[int] = []
-        for doc_id, spans in zip(doc_ids, spans_col):
-            extracted = self.extract_doc(doc_id, spans or [])
+        for doc_id, spans, size in zip(doc_ids, spans_col, sizes):
+            if size is not None and size > self.MAX_DOC_BYTES:
+                extracted: List[Dict] = []  # rejected, like the 413 path
+            else:
+                extracted = self.extract_doc(doc_id, spans or [])
             out_spans.append(extracted)
             n_spans.append(len(extracted))
         return pa.table({
