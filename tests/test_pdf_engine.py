@@ -213,3 +213,23 @@ def test_transition_right_aligned_uppercase():
     pb.line(108, "Darkness everywhere around us.", blank_before=1)
     objs = parse_pages_xml([pb.xml(), PageBuilder(number=2).xml()])
     assert ("Transition", "SLAM CUT TO:") in _kinds_texts(objs)
+
+
+def test_series_of_shots_items_not_merged():
+    """SERIES_TIMER semantics: 'A) ...' / 'B) ...' items under a
+    SERIES OF SHOTS slugline must stay separate blocks
+    (ParseText.php:2070-2082,1899-1920)."""
+    pb = PageBuilder(number=1)
+    _dense(pb)
+    pb.line(108, "SERIES OF SHOTS", blank_before=2)
+    pb.line(108, "A)  First shot happens here.", blank_before=1)
+    pb.line(108, "B)  Second shot follows along.")
+    pb.line(108, "C)  Third shot wraps it up.")
+    objs = parse_pages_xml([pb.xml(), PageBuilder(number=2).xml()])
+    tail = _kinds_texts(objs)[-4:]
+    assert tail == [
+        ("Scene", "SERIES OF SHOTS"),
+        ("Action", "A) First shot happens here."),
+        ("Text", "B) Second shot follows along."),
+        ("Text", "C) Third shot wraps it up."),
+    ]
