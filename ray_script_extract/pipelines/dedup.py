@@ -33,6 +33,16 @@ _MERSENNE = (1 << 61) - 1
 _N_PERMS = 64
 _N_BANDS = 16  # 4 rows per band
 
+_BUCKET_CAP = 512  # LSH hot-bucket cap (see partition_pairs docnotes)
+_N_PARTITIONS = 32
+
+
+def _add_part(df: "pd.DataFrame") -> "pd.DataFrame":
+    df = df.copy()
+    df["__part"] = (pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
+                    % _N_PARTITIONS).astype(np.int64)
+    return df
+
 _rng = np.random.RandomState(1234)
 _PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERMS, dtype=np.int64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERMS, dtype=np.int64)
@@ -97,54 +107,74 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             "sig": pa.array(sigs, pa.list_(pa.int64())),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = df["doc_id"].to_numpy()
-        if len(ids) < 2:
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash partition of band rows: pandas groupby over its
+        band keys (C speed), numpy pair generation per hot bucket —
+        the all-to-all is ONE shuffle on a small int partition id,
+        never a per-bucket task dispatch."""
+        out = []
+        for _, grp in df.groupby("band_key", sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            if not (2 <= len(grp) <= _BUCKET_CAP):
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sigs = np.vstack(grp["sig"].to_numpy())
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            matches = (sigs[a_idx] == sigs[b_idx]).sum(axis=1)
+            out.append(pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
+                                     "sim_64": matches.astype(np.int64)}))
+        if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "sim_64": pd.Series([], dtype=np.int64)})
-        sigs = np.vstack(df["sig"].to_numpy())
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        matches = (sigs[a_idx] == sigs[b_idx]).sum(axis=1)
-        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
-                             "sim_64": matches.astype(np.int64)})
+        return pd.concat(out, ignore_index=True)
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max
+
+    from .joins import groupby_agg_partitioned
 
     ds = _read_docs(sf_dir)
     pairs = (ds.map_batches(signatures, batch_format="pyarrow",
                             zero_copy_batch=True)
-               .groupby("band_key")
-               .map_groups(bucket_pairs, batch_format="pandas"))
+             .map_batches(_add_part, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(partition_pairs, batch_format="pandas"))
     # dedupe candidate pairs (a pair can collide in several bands);
-    # sim_64 is identical in every bucket row, so Max is a no-op pick
+    # sim_64 is identical in every bucket row, so max is a no-op pick
     min_matches = int(threshold * _N_PERMS)
-    verified = (pairs.groupby(["id_a", "id_b"])
-                     .aggregate(Max("sim_64", alias_name="sim_64"))
-                     .map_batches(lambda b: b.filter(
-                         pc.greater_equal(b.column("sim_64"), min_matches)),
-                         batch_format="pyarrow")
-                     .sort(["id_a", "id_b"]))
+    verified = (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
+                                        {"sim_64": "max"})
+                .map_batches(lambda b: b.filter(
+                    pc.greater_equal(b.column("sim_64"), min_matches))
+                    .select(["id_a", "id_b", "sim_64"]),
+                    batch_format="pyarrow")
+                .sort(["id_a", "id_b"]))
     return verified
+
+
+_TOKEN_HASH_CACHE: Dict[str, int] = {}
 
 
 def _simhash64(text: str) -> int:
     tokens = text.lower().split()
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                           "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    cache = _TOKEN_HASH_CACHE
+    hashes = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(cache) < 1_000_000:
+                cache[tok] = h
+        hashes[i] = h
+    # vectorized bit expansion: (n_tokens, 64) sign contributions
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 8):
@@ -169,37 +199,49 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
             "simhash": pa.array(hashes, pa.int64()),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = df["doc_id"].to_numpy()
-        if len(ids) < 2:
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Hash partition of band rows → pandas groupby over band
+        keys, vectorized hamming per hot bucket.  The _BUCKET_CAP
+        skip is the standard LSH hot-bucket heuristic — a bucket that
+        large means the band carries no signal; pairs in a skipped
+        bucket still surface via the other 3 bands."""
+        out = []
+        for _, grp in df.groupby("band_key", sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            if not (2 <= len(grp) <= _BUCKET_CAP):
+                continue
+            ids = grp["doc_id"].to_numpy()
+            hs = (grp["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+                  + np.uint64(1 << 63))
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            x = hs[a_idx] ^ hs[b_idx]
+            pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            out.append(pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
+                                     "hamming": pop}))
+        if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        hs = (df["simhash"].to_numpy().astype(np.uint64)
-              + np.uint64(1 << 63))
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        x = hs[a_idx] ^ hs[b_idx]
-        pop = np.zeros(len(x), dtype=np.int64)
-        for i in range(len(x)):
-            pop[i] = bin(int(x[i])).count("1")
-        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
-                             "hamming": pop})
+        return pd.concat(out, ignore_index=True)
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+
+    from .joins import groupby_agg_partitioned
 
     ds = _read_docs(sf_dir)
-    out = (ds.map_batches(fingerprints, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby("band_key")
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .groupby(["id_a", "id_b"])
-             .aggregate(Min("hamming", alias_name="hamming"))
-             .map_batches(lambda b: b.filter(
-                 pc.less_equal(b.column("hamming"), max_hamming)),
-                 batch_format="pyarrow")
-             .sort(["id_a", "id_b"]))
+    pairs = (ds.map_batches(fingerprints, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(_add_part, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(partition_pairs, batch_format="pandas"))
+    out = (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
+                                   {"hamming": "min"})
+           .map_batches(lambda b: b.filter(
+               pc.less_equal(b.column("hamming"), max_hamming))
+               .select(["id_a", "id_b", "hamming"]),
+               batch_format="pyarrow")
+           .sort(["id_a", "id_b"]))
     return out
 
 

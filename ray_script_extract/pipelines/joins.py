@@ -22,6 +22,40 @@ import pandas as pd
 import ray.data
 
 
+def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
+                            agg: dict, num_partitions: int = 32
+                            ) -> "ray.data.Dataset":
+    """High-cardinality groupby: Ray 2.49's native
+    ``groupby().aggregate()`` degrades badly past ~10^5 groups (98 s
+    for 600 k rows / 590 k groups measured here), so for high-group
+    shapes we hash-partition on the key ONCE (the same single shuffle)
+    and reduce each partition with a vectorized pandas groupby.
+
+    ``agg``: {column: "sum"|"min"|"max"|"count"} — result columns keep
+    their input names."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            col = df[k]
+            if col.dtype == object:
+                vals = pd.util.hash_array(col.to_numpy(dtype=object))
+            else:
+                vals = col.to_numpy().astype(np.uint64, copy=False)
+            h = h * np.uint64(1000003) + vals
+        df["__gp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return df
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False)
+        return g.agg(agg)
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("__gp")
+              .map_groups(reduce, batch_format="pandas"))
+
+
 def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           left_on: str, right_on: str,
                           num_partitions: int = 32,

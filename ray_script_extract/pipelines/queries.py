@@ -98,9 +98,16 @@ def _q3_revenue(sf_dir: str):
             "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
         })
 
-    rev = (li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby("l_orderkey")
-             .aggregate(Sum("rev_cents", alias_name="revenue_cents")))
+    from .joins import groupby_agg_partitioned
+
+    # l_orderkey is high-cardinality (~1 group per 4 rows): use the
+    # partitioned pandas reduce instead of the native aggregate
+    rev = (groupby_agg_partitioned(
+               li.map_batches(add_rev, batch_format="pyarrow",
+                              zero_copy_batch=True),
+               ["l_orderkey"], {"rev_cents": "sum"})
+           .map_batches(lambda b: b.rename_columns(
+               ["l_orderkey", "revenue_cents"]), batch_format="pyarrow"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     return rev, orders
 
