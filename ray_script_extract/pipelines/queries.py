@@ -536,6 +536,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def top_orders_per_priority(sf_dir: str, k: int = 3):
+    """Grouped top-k (the ROW_NUMBER window pattern): highest-value
+    orders per priority class.  Hash-partition by the group key, sort
+    + head inside each partition (pandas, vectorized)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "price_cents": pa.array(_cents_np(price), pa.int64()),
+        })
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("o_orderpriority")
+              .map_groups(topk, batch_format="pandas")
+              .sort(["o_orderpriority", "rnk"]))
+
+
+TOP_ORDERS_PER_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderpriority, price_cents, rnk
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) DESC,
+                                     o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk
+"""
+
+
+def events_rolling_sum3(sf_dir: str):
+    """Per-user rolling window (current + 2 preceding events by time):
+    exact integer-cents rolling sums — the sliding-window aggregate,
+    partitioned by key, vectorized with a cumsum trick per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        cents = _cents_np(df["value"].to_numpy())
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        rolling = csum[np.arange(1, n + 1)] - csum[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "rolling_sum3_cents": rolling.astype(np.int64),
+        })
+
+    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_sum3_cents
+FROM events
+ORDER BY event_id
+"""
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
     the canonical keyed-stream op: hash-partition by user, per-group
@@ -814,6 +890,8 @@ QUERIES: Dict[str, Callable] = {
     "events_sessionize": events_sessionize,
     "events_asof_last_signup": events_asof_last_signup,
     "event_value_percentiles": event_value_percentiles,
+    "top_orders_per_priority": top_orders_per_priority,
+    "events_rolling_sum3": events_rolling_sum3,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
     "word_frequency": word_frequency,
@@ -849,6 +927,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_asof_last_signup": EVENTS_ASOF_SQL,
     "event_value_percentiles": EVENT_PERCENTILES_SQL,
+    "top_orders_per_priority": TOP_ORDERS_PER_PRIORITY_SQL,
+    "events_rolling_sum3": EVENTS_ROLLING_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "word_frequency": WORD_FREQUENCY_SQL,
