@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "daily_event_counts",
     "events_sessionize",
     "events_asof_last_signup",
+    "event_value_percentiles",
+    "top_orders_per_priority",
+    "events_rolling_sum3",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

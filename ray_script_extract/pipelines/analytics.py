@@ -91,28 +91,55 @@ def split_speakers(heading: str) -> List[str]:
 
 
 def _doc_dialog_counts(spans: List[Dict]) -> Dict[str, Tuple[int, int]]:
-    """Per-doc walk: each Dialogue span is attributed to the current
-    speaker(s); returns name -> (n_speeches, n_dialog_words)."""
+    """Per-doc Analyzer walk (Analyzer.php:465-561 semantics):
+
+    * a Character heading OPENS a speech for each listed speaker
+      (split on &/AND/commas); a repeat of the same stripped name
+      while a speech is open (NICK … NICK (CONT'D)) does NOT open a
+      new speech — the CONT'D merge;
+    * Dialogue/Parens attach to the open speech; Dialogue with no
+      speech open opens one for the last speaker (*UNNAMED* if none);
+    * every other kind terminates the open speech.
+
+    Returns name -> (n_speeches, n_dialog_words)."""
     counts: Dict[str, List[int]] = {}
-    current: List[str] = []
-    last_was_character = False
+
+    def open_speech(names: List[str]) -> List[str]:
+        for n in names:
+            counts.setdefault(n, [0, 0])[0] += 1
+        return names
+
+    current: List[str] = []          # speakers of the open speech
+    dialog_open = False
+    last_characters: object = ""     # stripped heading of open speech
+    last_character_name = "*UNNAMED*"
     for span in spans:
         kind = span["kind"]
         if kind == "Character":
-            names = split_speakers(strip_parens(span["text"]))
-            current = names if names else current
-            last_was_character = True
-            for n in names:
-                counts.setdefault(n, [0, 0])[0] += 1
+            stripped = strip_parens(span["text"])
+            dual = False  # dual flags live on objects, not spans
+            if stripped != "" and (not dialog_open
+                                   or last_characters != stripped or dual):
+                last_characters = stripped
+                last_character_name = span["text"]
+                names = split_speakers(stripped)
+                current = open_speech(names) if names else current
+                dialog_open = bool(names)
         elif kind in ("Dialogue", "Parens"):
+            if not dialog_open:
+                names = split_speakers(strip_parens(last_character_name)) \
+                    or ["*UNNAMED*"]
+                current = open_speech(names)
+                dialog_open = True
             if kind == "Dialogue":
                 words = len(span["text"].split())
                 for n in current:
                     counts.setdefault(n, [0, 0])[1] += words
-            last_was_character = False
-        elif kind in ("Scene", "Action", "Transition", "New Act", "Shot"):
-            current = []
-            last_was_character = False
+        else:
+            # everything else (Text/Scene/Action/Transition/New Act/
+            # Shot/Title/…) terminates the open speech
+            dialog_open = False
+            last_characters = ""
     return {k: (v[0], v[1]) for k, v in counts.items()}
 
 

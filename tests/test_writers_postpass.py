@@ -126,3 +126,26 @@ def test_revisions_from_colored_fonts():
             font="1")
     doc = convert_pdf_xml_document([pb.xml(), PageBuilder(number=2).xml()])
     assert any(r["name"] == "Blue Revision Draft" for r in doc["revisions"])
+
+
+def test_analyzer_walk_contd_merge():
+    """Analyzer semantics: NICK → NICK (CONT'D) merges into one
+    speech; unattributed Dialogue opens a speech for the last
+    speaker (Analyzer.php:480-517)."""
+    from ray_script_extract.pipelines.analytics import _doc_dialog_counts
+
+    spans = [
+        {"kind": "Scene", "text": "INT. A - DAY"},
+        {"kind": "Character", "text": "NICK"},
+        {"kind": "Dialogue", "text": "one two three"},
+        {"kind": "Character", "text": "NICK (CONT'D)"},
+        {"kind": "Dialogue", "text": "four five"},
+        {"kind": "Action", "text": "He leaves."},
+        {"kind": "Character", "text": "NICK"},
+        {"kind": "Dialogue", "text": "six"},
+        {"kind": "Character", "text": "A & B"},
+        {"kind": "Dialogue", "text": "seven eight"},
+    ]
+    counts = _doc_dialog_counts(spans)
+    assert counts["NICK"] == (2, 6)
+    assert counts["A"] == (1, 2) and counts["B"] == (1, 2)
