@@ -81,6 +81,33 @@ def build_extract_pipeline(ds: "ray.data.Dataset", *,
     return run_extract(ds, batch_size)
 
 
+def read_corpus(path: str) -> "ray.data.Dataset":
+    """Read an interleaved-document corpus table.
+
+    Lance is the production table format (BASELINE.json north rule:
+    "Lance tables of interleaved text + media documents"); this
+    container does not ship the ``lance`` package, so the gated
+    fallback reads the same Arrow schema from parquet — identical
+    downstream pipeline either way (`ray.data.read_lance` and
+    `read_parquet` both yield zero-copy Arrow blocks)."""
+    try:
+        import lance  # noqa: F401
+
+        return ray.data.read_lance(path)
+    except ImportError:
+        return ray.data.read_parquet(path)
+
+
+def write_corpus(ds: "ray.data.Dataset", path: str) -> None:
+    """Write the corpus table (Lance when available, else parquet)."""
+    try:
+        import lance  # noqa: F401
+
+        ds.write_lance(path)
+    except ImportError:
+        ds.write_parquet(path)
+
+
 def extract_corpus(num_docs: int, seed: int = 42, *,
                    concurrency=None, batch_size: int = 32,
                    skewed: bool = True,
