@@ -187,3 +187,15 @@ _DATE_RES = [
 
 def contains_date(s: str) -> bool:
     return any(r.search(s) for r in _DATE_RES)
+
+
+def looks_like_fountain(lines: Sequence[str]) -> bool:
+    """Fountain-format sniff: mostly-unindented text
+    (re-derived from Parser.php:9-19: indented lines < 10% of all
+    lines)."""
+    indented = 0
+    for line in lines:
+        trimmed = line.lstrip()
+        if trimmed != "" and trimmed != line:
+            indented += 1
+    return indented < len(lines) / 10

@@ -612,6 +612,43 @@ ORDER BY event_id
 """
 
 
+def events_props_k_stats(sf_dir: str):
+    """Semi-structured column: parse the JSON ``props`` payload and
+    aggregate its ``k`` field per event type — exact integers on both
+    engines (duckdb json_extract vs Python json)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p).get("k", 0) for p in
+             batch.column("props").to_pylist()),
+            dtype=np.int64, count=len(batch))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return (ds.map_batches(extract_k, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("event_type")
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("k", alias_name="sum_k"),
+                         Min("k", alias_name="min_k"),
+                         Max("k", alias_name="max_k"))
+              .sort("event_type"))
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
     the canonical keyed-stream op: hash-partition by user, per-group
@@ -892,6 +929,7 @@ QUERIES: Dict[str, Callable] = {
     "event_value_percentiles": event_value_percentiles,
     "top_orders_per_priority": top_orders_per_priority,
     "events_rolling_sum3": events_rolling_sum3,
+    "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
     "word_frequency": word_frequency,
@@ -929,6 +967,7 @@ ORACLE_SQL: Dict[str, str] = {
     "event_value_percentiles": EVENT_PERCENTILES_SQL,
     "top_orders_per_priority": TOP_ORDERS_PER_PRIORITY_SQL,
     "events_rolling_sum3": EVENTS_ROLLING_SQL,
+    "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "word_frequency": WORD_FREQUENCY_SQL,
