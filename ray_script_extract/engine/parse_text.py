@@ -240,24 +240,37 @@ class TextParser:
             self.num_pages += 1  # fake title page
 
         # --- combine pieces into blocks ------------------------------
+        # The reference scans the last 20 blocks calling should_combine
+        # on each (ParseText.php:1159-1167).  A block whose y+height
+        # doesn't equal the piece's y returns False before ANY
+        # side-effecting SERIES_TIMER evaluation, so pre-bucketing the
+        # window by y+height is semantics-preserving and skips the
+        # dead calls (most of the scan on real pages).
         blocks: List[Block] = []
-        last_combined = -1
+        by_y_end: Dict[int, List[int]] = {}
         for piece in block_pieces:
             if looks_like_slugline(piece.text):
                 self._timer.value = 0
                 if looks_like_series_or_montage_slugline(piece.text):
                     self._timer.value = 20
             done = False
-            ax = max(0, len(blocks) - 20)
-            while not done and ax != len(blocks):
+            window_start = max(0, len(blocks) - 20)
+            for ax in by_y_end.get(piece.y, ()):
+                if ax < window_start:
+                    continue
                 if blocks[ax].should_combine(piece, self._timer):
-                    blocks[ax].combine(piece)
-                    last_combined = ax
+                    block = blocks[ax]
+                    by_y_end[block.y + block.height].remove(ax)
+                    block.combine(piece)
+                    by_y_end.setdefault(block.y + block.height, []).append(ax)
+                    by_y_end[block.y + block.height].sort()
                     done = True
-                ax += 1
+                    break
             if not done:
                 blocks.append(Block(piece))
-                last_combined = len(blocks) - 1
+                block = blocks[-1]
+                by_y_end.setdefault(block.y + block.height, []).append(
+                    len(blocks) - 1)
 
         maybe_merge_across_intersentence_spaces(blocks)
         self._snap("before_classify", blocks)
