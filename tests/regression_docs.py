@@ -116,7 +116,35 @@ def scenario_transition_backprop() -> List[str]:
     return [pb.xml(), PageBuilder(number=2).xml()]
 
 
+def scenario_dual_multiline_columns() -> List[str]:
+    pb = PageBuilder(number=1)
+    _dense(pb, 12)
+    pb.line(280, "JANE" + " " * 22 + "MARK", blank_before=1)
+    for l, r in [("I speak my first left line.", "And I the first right one."),
+                 ("Then my second left line.", "Then my second right one.")]:
+        pb.raw_text(pb.top, 180, l)
+        pb.raw_text(pb.top, 390, r)
+        pb.top += 12
+    pb.line(108, "They finish together.", blank_before=1)
+    return [pb.xml(), PageBuilder(number=2).xml()]
+
+
+def scenario_dual_paren_column() -> List[str]:
+    pb = PageBuilder(number=1)
+    _dense(pb, 12)
+    pb.line(280, "JANE" + " " * 22 + "MARK", blank_before=1)
+    pb.raw_text(pb.top, 180, "I speak plainly here.")
+    pb.raw_text(pb.top, 390, "(whispering)")
+    pb.top += 12
+    pb.raw_text(pb.top, 390, "And I whisper my reply.")
+    pb.top += 12
+    pb.line(108, "Silence falls.", blank_before=1)
+    return [pb.xml(), PageBuilder(number=2).xml()]
+
+
 SCENARIOS: Dict[str, List[str]] = {
+    "dual_multiline_columns": scenario_dual_multiline_columns(),
+    "dual_paren_column": scenario_dual_paren_column(),
     "contact_info_and_hrule": scenario_contact_info_and_hrule(),
     "date_page_header": scenario_date_page_header(),
     "orphan_character": scenario_orphan_character(),
