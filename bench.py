@@ -62,13 +62,25 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(sf_dir: str) -> tuple[float, int]:
+def run_flagship(sf_dir: str) -> tuple[float, int, dict]:
+    import re as _re
+
     from ray_script_extract.pipelines.flagship import flagship_extract
 
     t0 = time.time()
-    ds = flagship_extract(sf_dir)
+    ds = flagship_extract(sf_dir).materialize()
     n_docs = ds.count()
-    return time.time() - t0, n_docs
+    wall = time.time() - t0
+    # per-stage metrics from the streaming executor
+    stages: dict[str, float] = {}
+    try:
+        stats = ds.stats()
+        for m in _re.finditer(
+                r"Operator \d+ (\S+):.*?blocks produced in ([\d.]+)s", stats):
+            stages[m.group(1)[:80]] = float(m.group(2))
+    except Exception:
+        pass
+    return wall, n_docs, stages
 
 
 def main() -> None:
@@ -90,7 +102,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.time()
-    flagship_sec, n_docs = run_flagship(SF_DIR)
+    flagship_sec, n_docs, stages = run_flagship(SF_DIR)
     timings["flagship_extract"] = round(flagship_sec, 3)
     timings["flagship_docs_per_sec"] = round(n_docs / flagship_sec, 1)
 
@@ -105,6 +117,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stages": stages,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
