@@ -31,7 +31,6 @@ NGText_Block (`:1939-2388`), including its load-bearing quirks:
 
 from __future__ import annotations
 
-import math
 import re
 from typing import Dict, List, Optional
 
@@ -44,15 +43,13 @@ from ..functions.looks_like import (
     looks_like_hrule,
     looks_like_parenthetical,
     looks_like_scene_number,
-    looks_like_series_or_montage_slugline,
     looks_like_slugline,
     looks_like_slugline_or_transition,
     looks_like_the_end,
     looks_like_transition,
 )
-from ..functions.textutil import is_uppercase, reduce_spaces
-from .objects import ScriptObject
-from .pagexml import DEFAULT_CHAR_WIDTH, INCH, LineObject
+from ..functions.textutil import is_uppercase
+from .pagexml import DEFAULT_CHAR_WIDTH, INCH
 
 _PHP_TRIM = " \t\n\r\x00\x0b"
 _NBS_RTRIM = " \n\r\t\x0b\x00\u00a0"

@@ -27,7 +27,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 _MERSENNE = (1 << 61) - 1
 _N_PERMS = 64

@@ -22,7 +22,6 @@ shape):
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import Callable, Dict
 
 import numpy as np
@@ -32,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":

@@ -14,7 +14,6 @@ spacing.
 from __future__ import annotations
 
 import json
-import re
 from typing import Dict, List, Optional
 
 from ..engine.blocks import get_alignment

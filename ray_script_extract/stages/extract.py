@@ -22,7 +22,7 @@ the pool.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import pyarrow as pa
 
