@@ -37,6 +37,8 @@ from typing import Dict, List, Optional, Tuple
 from xml.sax.saxutils import escape
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+# XML 1.0 forbids most C0 controls; real-world PDFs can decode to them
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -414,15 +416,28 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
     tx = ty = 0.0
     line_x = line_y = 0.0
     scale_x = scale_y = 1.0
+    # minimal CTM (scale + translate; skew ignored): real PDFs often
+    # flip the device space with `1 0 0 -1 0 H cm`
+    ctm = [1.0, 1.0, 0.0, 0.0]  # sx, sy, tx0, ty0
+    ctm_stack: List[List[float]] = []
 
     def show(raw: bytes, adjust: float = 0.0) -> None:
         nonlocal tx
         if font is None or not raw:
             return
         text = font.decode(raw)
-        advance = font.advance_units(raw) / 1000.0 * size * scale_x
-        runs.append(_TextRun(tx, ty, advance, size * scale_y, text, font_key))
-        tx += advance
+        # abs(): PDFs with a flipped device matrix use negative Tm/CTM
+        # scale components; glyph box size/advance are magnitudes
+        text_adv = font.advance_units(raw) / 1000.0 * size * abs(scale_x)
+        dev_x = ctm[0] * tx + ctm[2]
+        dev_y = ctm[1] * ty + ctm[3]
+        # dev_y is bottom-up PDF device space either way: a flipped CTM
+        # (`1 0 0 -1 0 H cm`) combined with the flipped Tm such PDFs
+        # use cancels out, so the uniform top = H - y - size emission
+        # holds for both authored fixtures and real-world flipped PDFs
+        runs.append(_TextRun(dev_x, dev_y, text_adv * abs(ctm[0]),
+                             size * abs(scale_y * ctm[1]), text, font_key))
+        tx += text_adv
 
     while True:
         obj = lex.parse_object()
@@ -430,7 +445,17 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
             break
         if isinstance(obj, Keyword):
             op = obj.name
-            if op == b"BT":
+            if op == b"cm" and len(stack) >= 6:
+                a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
+                # compose scale+translate (skew components ignored)
+                ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
+                       ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
+            elif op == b"q":
+                ctm_stack.append(list(ctm))
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == b"BT":
                 tx = ty = line_x = line_y = 0.0
                 stack.clear()
             elif op == b"ET":
@@ -500,7 +525,7 @@ def pdf_to_page_xml(raw: bytes) -> List[str]:
             texts.append(
                 f'<text top="{top}" left="{left}" width="{width}" '
                 f'height="{size_px}" font="{spec_ids[run.font_key]}">'
-                f"{escape(run.text)}</text>")
+                f"{escape(_XML_INVALID.sub('', run.text))}</text>")
         out.append(
             f'<page number="{num}" width="{page_w:g}" height="{page_h:g}">'
             + "".join(specs) + "".join(texts) + "</page>")

@@ -109,3 +109,27 @@ def test_pdf_tj_array_kerning():
     import re
     lefts = [int(m) for m in re.findall(r'left="(\d+)"', pages[0])]
     assert lefts[0] == 108 and lefts[1] > lefts[0]
+
+
+def test_reference_example_pdf_real_world():
+    """The reference repo's actual example.pdf (Chromium-style flipped
+    CTM, per-glyph Tj with Td kerning, hex strings + ToUnicode)
+    converts through the native front-end in correct reading order."""
+    raw = open("/root/reference/example.pdf", "rb").read()
+    objs = parse_pages_xml(pdf_to_page_xml(raw))
+    body = [(o.get_type_json(), o.content) for o in objs if o.content]
+    assert body[0] == ("Title", "Example Title")
+    assert body[1] == ("Text", "By")
+    assert body[2] == ("Author", "Example Author")
+    kinds = [k for k, _ in body]
+    texts = [t for _, t in body]
+    assert ("Scene", "INT. EXAMPLE SCENE - DAY") in body
+    assert ("Character", "MRS. EXAMPLE") in body
+    assert ("Dialogue", "I am saying example dialogue.") in body
+    assert ("Parens", "(parens)") in body
+    assert ("Transition", "FADE TO:") in body
+    assert ("Character", "MRS. EXAMPLE (V.O.)") in body
+    # title page precedes the first scene; scene precedes its dialog
+    assert texts.index("Example Title") < texts.index("INT. EXAMPLE SCENE - DAY")
+    assert (texts.index("INT. EXAMPLE SCENE - DAY")
+            < texts.index("I am saying example dialogue."))
