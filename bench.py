@@ -164,8 +164,11 @@ def run_scaling() -> None:
     to parquet ONCE (storage-shaped input, like the real pipeline) and
     sized so the 32-cpu run is compute-bound for 10s+."""
     n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
+    # dir name encodes the shard size: write_corpus_parquet is
+    # file-level idempotent, so mixing shard layouts in one dir would
+    # otherwise leave stale extra shards that read as duplicate docs
     corpus_dir = os.environ.get("SCALING_CORPUS_DIR",
-                                f"/tmp/ray_script_corpus_{n_docs}")
+                                f"/tmp/ray_script_corpus_{n_docs}_s50")
     repo = os.path.dirname(os.path.abspath(__file__))
 
     import ray
