@@ -55,9 +55,12 @@ def q1_pricing_summary(sf_dir: str):
                 "l_extendedprice", "l_discount"])
 
     def add_cents(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         return batch.append_column(
+            "qty_cents", pa.array(_cents_np(qty), pa.int64())
+        ).append_column(
             "base_cents", pa.array(_cents_np(price), pa.int64())
         ).append_column(
             "disc_cents", pa.array(_cents_np(price * (1.0 - disc)), pa.int64()))
@@ -65,7 +68,7 @@ def q1_pricing_summary(sf_dir: str):
     out = (ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(
-                 Sum("l_quantity", alias_name="sum_qty"),
+                 Sum("qty_cents", alias_name="sum_qty_cents"),
                  Sum("base_cents", alias_name="sum_base_cents"),
                  Sum("disc_cents", alias_name="sum_disc_cents"),
                  Count(alias_name="count_order"),
@@ -74,11 +77,14 @@ def q1_pricing_summary(sf_dir: str):
     return out
 
 
+# Every SUM is wrapped CAST(SUM(...) AS BIGINT): DuckDB returns HUGEINT
+# for SUM(BIGINT) which pandas maps to float64, while the Ray side is
+# int64 — the driver's hash compares dtypes, so the cast is load-bearing.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -149,7 +155,7 @@ Q3_SQL = """
 SELECT o_orderkey, o_orderpriority, revenue_cents
 FROM (
   SELECT l_orderkey,
-         SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem GROUP BY l_orderkey
 ) r JOIN orders ON l_orderkey = o_orderkey
 ORDER BY revenue_cents DESC, o_orderkey
@@ -222,7 +228,7 @@ def q5_region_revenue(sf_dir: str):
 
 Q5_SQL = """
 SELECT r_name,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -272,7 +278,7 @@ def top_brands_by_revenue(sf_dir: str):
 
 TOP_BRANDS_SQL = """
 SELECT p_brand,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -305,7 +311,7 @@ def q6_forecast_revenue(sf_dir: str):
 
 
 Q6_SQL = """
-SELECT SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS revenue_cents,
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -382,7 +388,7 @@ def union_key_accounts(sf_dir: str):
 
 UNION_ACCOUNTS_SQL = """
 SELECT role, nationkey, COUNT(*) AS n_accounts,
-       SUM(CAST(FLOOR(acctbal*100 + 0.5) AS BIGINT)) AS total_bal_cents
+       CAST(SUM(CAST(FLOOR(acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents
 FROM (
   SELECT 'customer' AS role, CAST(c_nationkey AS BIGINT) AS nationkey,
          c_acctbal AS acctbal FROM customer
@@ -426,7 +432,7 @@ def events_by_type(sf_dir: str):
 EVENTS_BY_TYPE_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS total_value_cents,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -450,7 +456,7 @@ def daily_event_counts(sf_dir: str):
 DAILY_EVENTS_SQL = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS total_value_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -603,9 +609,9 @@ def events_rolling_sum3(sf_dir: str):
 
 EVENTS_ROLLING_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_sum3_cents
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum3_cents
 FROM events
 ORDER BY event_id
 """
@@ -641,7 +647,7 @@ def events_props_k_stats(sf_dir: str):
 
 EVENTS_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -725,8 +731,8 @@ def doc_token_stats(sf_dir: str):
 
 DOC_TOKEN_STATS_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

@@ -34,8 +34,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
     a, b = normalize(ray_df), normalize(sql_df)
+    # dtype-strict: the driver hashes values WITH dtypes, so a
+    # HUGEINT->float64 oracle vs int64 Ray result must fail here too
+    # (round-1 lesson: check_dtype=False hid 12 hash_match failures).
+    dt_a, dt_b = list(a.dtypes), list(b.dtypes)
+    if dt_a != dt_b:
+        return f"DTYPE MISMATCH ray={dt_a} sql={dt_b}"
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
     except AssertionError as e:
         return "VALUE MISMATCH: " + str(e).split("\n")[0] + _first_diff(a, b)
     return "OK"
