@@ -1,4 +1,4 @@
-"""Join strategies.
+"""Join + partitioned-reduce strategies.
 
 * ``broadcast`` — small side collected once and shipped via ray.put
   (queries.py q5/top_brands use this inline).
@@ -10,16 +10,75 @@
   key (one groupby shuffle on a small int partition id), then ONE
   vectorized merge per partition.  Same all-to-all movement a cluster
   join performs, none of the actor-pool fixed cost.
+* ``hash_partitioned_map`` — the backbone for keyed window/stream ops
+  (sessionize, rolling, as-of, grouped top-k): ONE shuffle on a
+  32-way partition id, then a pandas-vectorized reduce that handles
+  ALL keys of a partition at once.  Ray 2.49's per-group ``map_groups``
+  dispatch costs ~10 ms/group (98 s at 590 k groups measured here), so
+  keyed ops must never groupby the raw key at cluster cardinality.
+
+Everything below stays zero-copy Arrow until the per-partition reduce,
+which is a single pandas conversion per partition (32 conversions per
+query, not one per batch).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import Callable, List, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+
+_HASH_MULT = np.uint64(1000003)
+
+
+def _partition_ids(tbl: pa.Table, keys: Sequence[str],
+                   num_partitions: int) -> np.ndarray:
+    """Deterministic partition id per row from the key columns —
+    integer keys hash zero-copy via numpy; strings via pandas'
+    vectorized siphash."""
+    h = np.zeros(len(tbl), dtype=np.uint64)
+    for k in keys:
+        col = tbl.column(k)
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False)
+        elif pa.types.is_timestamp(col.type):
+            vals = pc.cast(col, pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64, copy=False)
+        else:
+            vals = pd.util.hash_array(
+                col.to_pandas().to_numpy(dtype=object))
+        h = h * _HASH_MULT + vals
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def hash_partitioned_map(ds: "ray.data.Dataset", keys: Sequence[str],
+                         fn: Callable[[pd.DataFrame], pd.DataFrame],
+                         num_partitions: int = 32) -> "ray.data.Dataset":
+    """Co-locate all rows of each key with ONE shuffle on a small int
+    partition id, then run ``fn`` once per partition over a pandas
+    frame holding every key's rows.  ``fn`` must be vectorized across
+    keys (pandas groupby/merge_asof/cumsum) — the whole point is that
+    per-key work happens in C inside the partition, not as one Ray
+    dispatch per key.  The ``__gp`` helper column is dropped before
+    ``fn`` sees the frame."""
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__gp", pa.array(_partition_ids(tbl, keys, num_partitions),
+                             pa.int64()))
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns="__gp"))
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("__gp")
+              .map_groups(reduce, batch_format="pandas"))
 
 
 def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
@@ -34,70 +93,81 @@ def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
     ``agg``: {column: "sum"|"min"|"max"|"count"} — result columns keep
     their input names."""
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            col = df[k]
-            if col.dtype == object:
-                vals = pd.util.hash_array(col.to_numpy(dtype=object))
-            else:
-                vals = col.to_numpy().astype(np.uint64, copy=False)
-            h = h * np.uint64(1000003) + vals
-        df["__gp"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return df
-
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False, sort=False)
-        return g.agg(agg)
+        return df.groupby(keys, as_index=False, sort=False).agg(agg)
 
-    return (ds.map_batches(add_part, batch_format="pandas")
-              .groupby("__gp")
-              .map_groups(reduce, batch_format="pandas"))
+    return hash_partitioned_map(ds, keys, reduce, num_partitions)
 
 
 def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           left_on: str, right_on: str,
                           num_partitions: int = 32,
                           how: str = "inner") -> "ray.data.Dataset":
-    """Equi-join on integer keys.  Column sets must be disjoint apart
-    from the key columns; the right key column is dropped after the
-    merge (keeping the left name), matching SQL equi-join output."""
+    """Equi-join on integer keys, Arrow end-to-end until the
+    per-partition merge.  Column sets must be disjoint apart from the
+    key columns; the right key column is dropped after the merge
+    (keeping the left name), matching SQL equi-join output.
 
-    def tag(side: str, key: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__part"] = (df[key].to_numpy(dtype=np.int64)
-                            % num_partitions).astype(np.int64)
-            df["__side"] = side
-            return df
-        return fn
-
-    lt = left.map_batches(tag("l", left_on), batch_format="pandas")
-    rt = right.map_batches(tag("r", right_on), batch_format="pandas")
-    unioned = lt.union(rt)
-
-    import pyarrow as pa
+    Each side is padded with typed-null columns for the other side's
+    fields so the union has ONE schema and integer columns never float
+    (Arrow nulls are dtype-preserving, unlike the pandas NaN fill this
+    replaced).  Non-inner joins surface unmatched rows with pandas
+    nullable Int64 on integer columns instead of crashing on the
+    int64 cast."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"unsupported how={how!r}")
 
     left_schema, right_schema = left.schema(), right.schema()
     left_cols: List[str] = list(left_schema.names)
     right_cols: List[str] = list(right_schema.names)
-    # the union null-fills the other side's columns, floating int
-    # dtypes; restore integer columns after the merge
+    overlap = (set(left_cols) & set(right_cols)) - {left_on}
+    if overlap:
+        raise ValueError(f"non-key column overlap: {sorted(overlap)}")
+    pad_for_left = [(n, t) for n, t in zip(right_schema.names,
+                                           right_schema.types)
+                    if n not in left_cols]
+    pad_for_right = [(n, t) for n, t in zip(left_schema.names,
+                                            left_schema.types)
+                     if n not in right_cols]
+    all_cols = left_cols + [n for n, _ in pad_for_left]
+
+    def tag(side_flag: int, key: str, pads):
+        def fn(tbl: pa.Table) -> pa.Table:
+            for name, typ in pads:
+                tbl = tbl.append_column(name, pa.nulls(len(tbl), typ))
+            tbl = tbl.select(all_cols)
+            k = tbl.column(key).to_numpy(zero_copy_only=False)
+            tbl = tbl.append_column(
+                "__part", pa.array((k % num_partitions).astype(np.int64),
+                                   pa.int64()))
+            return tbl.append_column(
+                "__side", pa.array(np.full(len(tbl), side_flag, np.int8),
+                                   pa.int8()))
+        return fn
+
+    lt = left.map_batches(tag(0, left_on, pad_for_left),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1, right_on, pad_for_right),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    out_cols = left_cols + [c for c in right_cols if c != right_on]
     int_cols = {name for schema in (left_schema, right_schema)
                 for name, typ in zip(schema.names, schema.types)
                 if pa.types.is_integer(typ)}
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lrows = df[df["__side"] == "l"]
-        rrows = df[df["__side"] == "r"]
-        out_cols = left_cols + [c for c in right_cols if c != right_on]
-        merged = lrows[left_cols].merge(
-            rrows[right_cols], left_on=left_on, right_on=right_on, how=how)
-        merged = merged[out_cols]
-        for c in merged.columns:
-            if c in int_cols:
-                merged[c] = merged[c].astype("int64")
-        return merged
+    def merge(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side")
+        # each side's own columns are null-free after the filter, so
+        # to_pandas keeps exact integer dtypes
+        ldf = tbl.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rdf = tbl.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+        merged = ldf.merge(rdf, left_on=left_on, right_on=right_on,
+                           how=how)[out_cols]
+        if how != "inner":
+            for c in out_cols:
+                if c in int_cols and merged[c].isna().any():
+                    merged[c] = merged[c].astype("Int64")
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
-    return unioned.groupby("__part").map_groups(merge, batch_format="pandas")
+    return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")

@@ -463,32 +463,38 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 def events_asof_last_signup(sf_dir: str):
     """As-of join (a custom operator Ray Data lacks): for every
-    purchase event, the timestamp of the same user's most recent prior
-    signup.  Implemented as hash-partition by user + per-group sorted
-    vectorized searchsorted — the partitioning assumption is that one
-    user's history fits one group (true for keyed user streams).
-    Output timestamps as epoch micros (int64, -1 = none) so the SQL
-    oracle compares exactly."""
+    purchase event, the timestamp of the same user's most recent
+    STRICTLY prior signup.  Shape: ONE shuffle co-locating each user's
+    rows on a 32-way partition id (hash_partitioned_map), then a
+    single vectorized ``pd.merge_asof(by=user)`` per partition — never
+    one Ray dispatch per user (map_groups costs ~10 ms/group; millions
+    of users would take hours).  Output timestamps as epoch micros
+    (int64, -1 = none) so the SQL oracle compares exactly."""
+    from .joins import hash_partitioned_map
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         ts_us = (df["ts"].astype("datetime64[ns]").astype("int64")
                  // 1000).to_numpy()  # ns -> epoch micros
-        is_signup = (df["event_type"] == "signup").to_numpy()
-        signup_ts = ts_us[is_signup]
-        purchases = df[df["event_type"] == "purchase"]
-        p_ts = ts_us[(df["event_type"] == "purchase").to_numpy()]
-        idx = np.searchsorted(signup_ts, p_ts, side="left") - 1
-        last = np.where(idx >= 0, signup_ts[np.maximum(idx, 0)], -1)
+        df = df.assign(ts_us=ts_us)
+        purchases = (df.loc[df["event_type"] == "purchase",
+                            ["event_id", "user_id", "ts_us"]]
+                       .sort_values("ts_us", kind="stable"))
+        signups = (df.loc[df["event_type"] == "signup",
+                          ["user_id", "ts_us"]]
+                     .sort_values("ts_us", kind="stable"))
+        signups = signups.assign(last_signup_us=signups["ts_us"])
+        m = pd.merge_asof(purchases, signups, on="ts_us", by="user_id",
+                          allow_exact_matches=False, direction="backward")
         return pd.DataFrame({
-            "event_id": purchases["event_id"].to_numpy(),
-            "user_id": purchases["user_id"].to_numpy(),
-            "last_signup_us": last.astype(np.int64),
+            "event_id": m["event_id"].to_numpy(),
+            "user_id": m["user_id"].to_numpy(),
+            "last_signup_us": m["last_signup_us"].fillna(-1)
+                               .to_numpy().astype(np.int64),
         })
 
-    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-              .sort("event_id"))
+    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("event_id")
 
 
 EVENTS_ASOF_SQL = """
@@ -511,25 +517,36 @@ def event_value_percentiles(sf_dir: str):
     values.  Distributed shape: hash-partition by type, per-group
     vectorized sort (each type's values fit a group; for heavy-hitter
     keys this would become a t-digest sketch)."""
+    from .joins import hash_partitioned_map
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def per_type(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.sort(_cents_np(df["value"].to_numpy()))
-        n = len(cents)
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # all types of this partition at once: one global sort by
+        # (type, value), then per-group offsets select the discrete
+        # percentile elements — no per-type Python loop
+        s = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "cents": _cents_np(df["value"].to_numpy())})
+        s = s.sort_values(["event_type", "cents"], kind="stable")
+        sizes = s.groupby("event_type", sort=False).size()
+        n = sizes.to_numpy()
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        cents_sorted = s["cents"].to_numpy()
 
-        def disc(p: float) -> int:
-            idx = max(int(np.ceil(p * n)) - 1, 0)
-            return int(cents[idx])
+        def disc(p: float) -> np.ndarray:
+            idx = starts + np.maximum(
+                np.ceil(p * n).astype(np.int64) - 1, 0)
+            return cents_sorted[idx].astype(np.int64)
 
         return pd.DataFrame({
-            "event_type": [df["event_type"].iloc[0]],
-            "p50_cents": np.array([disc(0.5)], dtype=np.int64),
-            "p90_cents": np.array([disc(0.9)], dtype=np.int64),
-            "n_events": np.array([n], dtype=np.int64),
+            "event_type": sizes.index.to_numpy(),
+            "p50_cents": disc(0.5),
+            "p90_cents": disc(0.9),
+            "n_events": n.astype(np.int64),
         })
 
-    return (ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
-              .sort("event_type"))
+    return hash_partitioned_map(ds, ["event_type"], per_partition) \
+        .sort("event_type")
 
 
 EVENT_PERCENTILES_SQL = """
@@ -556,17 +573,33 @@ def top_orders_per_priority(sf_dir: str, k: int = 3):
             "price_cents": pa.array(_cents_np(price), pa.int64()),
         })
 
+    from .joins import hash_partitioned_map
+
+    def _grouped_head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "price_cents", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("o_orderpriority", sort=False).head(k)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        # per-batch local top-k per priority: top-k distributes over
+        # the total order (price desc, key asc), so pruning before the
+        # shuffle is exact and bounds shuffle payload to k rows per
+        # priority per block
+        return pa.Table.from_pandas(_grouped_head(batch.to_pandas()),
+                                    preserve_index=False)
+
     def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["price_cents", "o_orderkey"],
-                            ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df = _grouped_head(df).copy()
+        df["rnk"] = (df.groupby("o_orderpriority", sort=False).cumcount()
+                     + 1).astype(np.int64)
         return df
 
-    return (ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("o_orderpriority")
-              .map_groups(topk, batch_format="pandas")
-              .sort(["o_orderpriority", "rnk"]))
+    pruned = (ds.map_batches(cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .map_batches(prune, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return hash_partitioned_map(pruned, ["o_orderpriority"], topk) \
+        .sort(["o_orderpriority", "rnk"])
 
 
 TOP_ORDERS_PER_PRIORITY_SQL = """
@@ -586,25 +619,34 @@ ORDER BY o_orderpriority, rnk
 
 def events_rolling_sum3(sf_dir: str):
     """Per-user rolling window (current + 2 preceding events by time):
-    exact integer-cents rolling sums — the sliding-window aggregate,
-    partitioned by key, vectorized with a cumsum trick per group."""
+    exact integer-cents rolling sums.  ONE shuffle co-locates each
+    user's rows (hash_partitioned_map); inside a partition ALL users
+    are handled by a single cumsum with window floors clamped at each
+    user's first row — fully vectorized, no per-user dispatch."""
+    from .joins import hash_partitioned_map
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
         cents = _cents_np(df["value"].to_numpy())
+        n = len(df)
+        idx = np.arange(n)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(idx - 2, grp_start)
         csum = np.concatenate([[0], np.cumsum(cents)])
-        n = len(cents)
-        lo = np.maximum(np.arange(n) - 2, 0)
-        rolling = csum[np.arange(1, n + 1)] - csum[lo]
+        rolling = csum[idx + 1] - csum[lo]
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(),
-            "user_id": df["user_id"].to_numpy(),
+            "user_id": uid,
             "rolling_sum3_cents": rolling.astype(np.int64),
         })
 
-    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-              .sort("event_id"))
+    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("event_id")
 
 
 EVENTS_ROLLING_SQL = """
@@ -656,20 +698,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
-    the canonical keyed-stream op: hash-partition by user, per-group
-    sort + vectorized gap scan (no Python loop over events)."""
+    the canonical keyed-stream op: ONE shuffle co-locating each user's
+    rows, then a single vectorized gap scan over ALL users of the
+    partition (session starts = first row per user OR gap breach),
+    reduced with one pandas groupby."""
+    from .joins import hash_partitioned_map
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df["ts"].to_numpy())
-        breaks = 1 + int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 1
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_sessions": np.array([breaks], dtype=np.int64),
-                             "n_events": np.array([len(ts)], dtype=np.int64)})
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        n = len(df)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        g = (pd.DataFrame({"user_id": uid, "brk": brk.astype(np.int64)})
+               .groupby("user_id", as_index=False, sort=False)
+               .agg(n_sessions=("brk", "sum"), n_events=("brk", "count")))
+        return g
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
-    return out
+    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("user_id")
 
 
 SESSIONIZE_SQL = """
@@ -813,30 +864,43 @@ def knn_cosine(sf_dir: str, n_queries: int = 4, k: int = 5):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(batch: pa.Table) -> pa.Table:
+        # scores AND prunes: only each query's batch-local top-k rows
+        # leave the task (top-k distributes over the (score desc,
+        # vec_id asc) total order), so the downstream shuffle carries
+        # k rows per query per block, not the whole scan
         q_ids, q_norm = ray.get(q_ref)
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ q_norm.T  # (batch, n_queries)
-        n, nq = sims.shape
+        sims = np.round(m @ q_norm.T, 4)  # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(q_ids):
+            keep = vec_ids != qid
+            v, s = vec_ids[keep], sims[keep, j]
+            top = np.lexsort((v, -s))[:k]
+            out_q.append(np.full(len(top), qid, np.int64))
+            out_v.append(v[top])
+            out_s.append(s[top])
         return pa.table({
-            "query_id": pa.array(np.repeat(q_ids, n), pa.int64()),
-            "vec_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
-            "score": pa.array(np.round(sims.T.reshape(-1), 4), pa.float64()),
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
+    from .joins import hash_partitioned_map
+
     def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["vec_id"] != df["query_id"]]
-        df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
         return df
 
-    out = (scored.groupby("query_id").map_groups(topk, batch_format="pandas")
-                 .sort(["query_id", "rank"]))
-    return out
+    return hash_partitioned_map(scored, ["query_id"], topk) \
+        .sort(["query_id", "rank"])
 
 
 KNN_COSINE_SQL = """
