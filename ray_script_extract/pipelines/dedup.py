@@ -3,14 +3,27 @@
 Four pillars of training-data dedup, each Ray-Data-first:
 
 * exact          — hash-partition groupby, keep min doc_id (queries.py)
-* ngram_jaccard  — exact char-trigram Jaccard via a broadcast binary
-                   incidence matrix (integer arithmetic end-to-end, so
-                   it has an exact DuckDB oracle); the 10^12-doc path
-                   replaces the broadcast with LSH prefiltering below
+* ngram_jaccard  — exact char-trigram Jaccard as a partitioned BLOCK
+                   THETA-JOIN over per-doc bitsets: P*(P+1)/2 block-
+                   pair tasks, popcount(AND) verify — exact all-pairs
+                   work distributed evenly, no driver materialization
+                   (prefix filtering was evaluated and rejected: the
+                   testdata's ~380-trigram vocab makes every prefix
+                   bucket hot, so bucket caps silently lose pairs)
 * minhash_lsh    — shingle → 64-perm minhash → banded LSH buckets →
-                   candidate pairs → signature-similarity verify
+                   candidate pairs → signature-similarity verify; band
+                   rows carry NO signature payload (signatures are
+                   materialized once and joined back at verify)
 * simhash        — 64-bit simhash, banded by 4×16-bit chunks,
-                   hamming-distance verify
+                   hamming-distance verify (exact for hamming ≤ 3 by
+                   pigeonhole: a pair differing in ≤ 3 of 4 bands
+                   shares ≥ 1 exact band)
+
+Token/shingle hashing is md5-low-64 — bit-identical to DuckDB's
+``md5_number_lower`` — and minhash permutations live in the 31-bit
+Mersenne field (products fit int64 on both engines), so minhash AND
+simhash have EXACT DuckDB oracles (MINHASH_LSH_SQL / SIMHASH_SQL)
+replicating banding, the 512 hot-bucket cap, and verification.
 
 All randomness is a fixed seeded permutation table — results are
 deterministic for a given input.
@@ -19,21 +32,37 @@ deterministic for a given input.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
+_P31 = (1 << 31) - 1  # Mersenne 2^31-1: a*h+b stays under 2^62 (int64-safe)
 _N_PERMS = 64
-_N_BANDS = 16  # 4 rows per band
+_N_BANDS = 16  # 4 perms per band
 
 _BUCKET_CAP = 512  # LSH hot-bucket cap (see partition_pairs docnotes)
 _N_PARTITIONS = 32
+
+PAIRS_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+_POPLUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_rng = np.random.RandomState(1234)
+_PERM_A = _rng.randint(1, _P31, size=_N_PERMS).astype(np.int64)
+_PERM_B = _rng.randint(0, _P31, size=_N_PERMS).astype(np.int64)
+
+
+def _md5_low64(data: bytes) -> int:
+    """Low 8 bytes of md5, little-endian — equals DuckDB
+    ``md5_number_lower`` exactly (verified: 'abc' → 8250560606382298838
+    on both)."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
 
 
 def _add_part(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -42,18 +71,92 @@ def _add_part(df: "pd.DataFrame") -> "pd.DataFrame":
                     % _N_PARTITIONS).astype(np.int64)
     return df
 
-_rng = np.random.RandomState(1234)
-_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERMS, dtype=np.int64)
-_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERMS, dtype=np.int64)
-
 
 def _read_docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
+def _bucket_pairs(band_rows: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(band_key, doc_id) rows → candidate (id_a, id_b) pairs.  ONE
+    shuffle on a 32-way hash of band_key co-locates every bucket;
+    inside a partition a vectorized value_counts kills the (vast
+    majority of) singleton buckets, then numpy generates pairs per
+    surviving bucket.  Buckets larger than _BUCKET_CAP are skipped (a
+    band that hot carries no signal; true pairs still surface via
+    their other bands).
+
+    Pairs may repeat (a pair can collide in several bands) — the
+    FIRST downstream join dedupes them for free via ``dedupe_left``
+    (all copies share id_a so they land in one partition)."""
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["band_key", "doc_id"])
+        cnt = df["band_key"].value_counts()
+        keep_keys = cnt[(cnt >= 2) & (cnt <= _BUCKET_CAP)].index
+        df = df[df["band_key"].isin(keep_keys)]
+        out_a, out_b = [], []
+        for _, grp in df.groupby("band_key", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a_idx])
+            out_b.append(ids[b_idx])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    def as_arrow(df: pd.DataFrame) -> pa.Table:
+        # explicit-schema Arrow even for EMPTY partitions: a single
+        # schemaless empty pandas block downstream forces Ray's sort
+        # into pandas unification, NaN-floating every int column
+        return pa.Table.from_pandas(df, schema=PAIRS_SCHEMA,
+                                    preserve_index=False)
+
+    return (band_rows.map_batches(_add_part, batch_format="pandas")
+            .groupby("__part")
+            .map_groups(partition_pairs, batch_format="pandas")
+            .map_batches(as_arrow, batch_format="pandas"))
+
+
+def _join_back(pairs: "ray.data.Dataset", side_table: "ray.data.Dataset",
+               pair_key: str, value_col: str, renamed: str,
+               payload_type: pa.DataType,
+               left_schema: pa.Schema,
+               dedupe_left: bool = False,
+               post=None):
+    """Attach ``side_table``'s ``value_col`` (keyed by doc_id) to each
+    pair via the partitioned shuffle join — the scale-safe alternative
+    to carrying per-doc payloads through the band explosion.
+    ``dedupe_left`` / ``post`` fuse pair-dedupe and verification into
+    the join task (each saved stage is a saved all-to-all barrier).
+
+    Schemas are passed EXPLICITLY — ``Dataset.schema()`` on the lazy
+    pair pipeline would execute it once per probe.  Returns
+    (dataset, out_schema) so chained joins stay probe-free."""
+    from .joins import hash_join_via_groupby
+
+    side = side_table.map_batches(
+        lambda b, v=value_col, r=renamed: b.select(["doc_id", v])
+        .rename_columns(["__k", r]), batch_format="pyarrow")
+    side_schema = pa.schema([("__k", pa.int64()), (renamed, payload_type)])
+    out = hash_join_via_groupby(pairs, side, pair_key, "__k",
+                                dedupe_left=dedupe_left, post=post,
+                                left_schema=left_schema,
+                                right_schema=side_schema)
+    out_schema = pa.schema(list(left_schema) + [pa.field(renamed,
+                                                         payload_type)])
+    return out, out_schema
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles → stable 61-bit hashes."""
+    """Word k-shingles → 31-bit hashes (md5-low-64 mod 2^31-1,
+    reproducible in DuckDB as md5_number_lower(s) % 2147483647)."""
     words = text.lower().split()
     if len(words) < k:
         shingles = [" ".join(words)] if words else []
@@ -61,8 +164,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
     out = np.empty(len(shingles), dtype=np.int64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+        out[i] = _md5_low64(s.encode()) % _P31
     return out
 
 
@@ -70,86 +172,146 @@ def _minhash_signature(text: str) -> np.ndarray:
     h = _shingle_hashes(text)
     if len(h) == 0:
         return np.zeros(_N_PERMS, dtype=np.int64)
-    # (perms, shingles): ((a*h + b) mod p) then min over shingles
-    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    # (perms, shingles): ((a*h + b) mod p) then min over shingles —
+    # all values < 2^62, no int64 overflow
+    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _P31
     return vals.min(axis=1)
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-dup pairs: per-batch signatures → explode to
-    (band_key, doc_id, signature) → groupby band bucket → candidate
-    pairs → dedupe pairs → verify estimated Jaccard ≥ τ.
+    """MinHash+LSH near-dup pairs.  Shape at 10^12 docs:
 
-    The only shuffle is the band groupby, whose payload is 16 small
-    rows per document — the pattern that holds at corpus scale."""
+    1. signatures computed once per doc and MATERIALIZED (the standard
+       persisted-signature artifact, ~0.5 KB/doc — in production this
+       is a parquet side table);
+    2. band rows are (band_key, doc_id) ONLY — 16 tiny rows per doc,
+       not 16 copies of the 64-int signature (a 16× shuffle-payload
+       cut vs carrying the signature through the explosion);
+    3. bucket pairs → dedupe → signatures joined back (two partitioned
+       joins) → estimated-Jaccard verify ``sim_64 >= threshold*64``.
+
+    Exact DuckDB oracle: MINHASH_LSH_SQL replicates shingling, the
+    permutation table, banding, the hot-bucket cap and the verify."""
+
+    rows_per_band = _N_PERMS // _N_BANDS
 
     def signatures(batch: pa.Table) -> pa.Table:
+        sigs = [_minhash_signature(t).tolist()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array(sigs, pa.list_(pa.int64())),
+        })
+
+    def bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        band_keys: List[str] = []
-        out_ids: List[int] = []
-        sigs: List[List[int]] = []
-        for did, text in zip(doc_ids, texts):
-            sig = _minhash_signature(text)
-            sig_list = sig.tolist()
-            rows_per_band = _N_PERMS // _N_BANDS
+        band_keys, out_ids = [], []
+        for did, sig in zip(doc_ids, batch.column("sig").to_pylist()):
+            s = np.asarray(sig, dtype=np.int64)
             for b in range(_N_BANDS):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                chunk = s[b * rows_per_band:(b + 1) * rows_per_band]
                 digest = hashlib.blake2b(chunk.tobytes(),
                                          digest_size=8).hexdigest()
                 band_keys.append(f"{b}:{digest}")
                 out_ids.append(did)
-                sigs.append(sig_list)
         return pa.table({
             "band_key": pa.array(band_keys, pa.string()),
             "doc_id": pa.array(out_ids, pa.int64()),
-            "sig": pa.array(sigs, pa.list_(pa.int64())),
         })
 
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """One hash partition of band rows: pandas groupby over its
-        band keys (C speed), numpy pair generation per hot bucket —
-        the all-to-all is ONE shuffle on a small int partition id,
-        never a per-bucket task dispatch."""
-        out = []
-        for _, grp in df.groupby("band_key", sort=False):
-            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-            if not (2 <= len(grp) <= _BUCKET_CAP):
-                continue
-            ids = grp["doc_id"].to_numpy()
-            sigs = np.vstack(grp["sig"].to_numpy())
-            a_idx, b_idx = np.triu_indices(len(ids), k=1)
-            matches = (sigs[a_idx] == sigs[b_idx]).sum(axis=1)
-            out.append(pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
-                                     "sim_64": matches.astype(np.int64)}))
-        if not out:
+    sigs = (_read_docs(sf_dir)
+            .map_batches(signatures, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .materialize())  # computed once, consumed by bands + 2 joins
+
+    min_matches = int(threshold * _N_PERMS)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "sim_64": pd.Series([], dtype=np.int64)})
-        return pd.concat(out, ignore_index=True)
+        sa = np.vstack([np.asarray(x) for x in df["sig_a"]])
+        sb = np.vstack([np.asarray(x) for x in df["sig_b"]])
+        sim = (sa == sb).sum(axis=1).astype(np.int64)
+        keep = sim >= min_matches
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+            "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+            "sim_64": sim[keep],
+        })
 
-    import pyarrow.compute as pc
+    # 4 barriers total: band bucket shuffle, join+dedupe, join+verify,
+    # final sort
+    sig_t = pa.list_(pa.int64())
+    pairs = _bucket_pairs(sigs.map_batches(bands, batch_format="pyarrow"))
+    with_a, wa_schema = _join_back(pairs, sigs, "id_a", "sig", "sig_a",
+                                   sig_t, PAIRS_SCHEMA, dedupe_left=True)
+    out, _ = _join_back(with_a, sigs, "id_b", "sig", "sig_b",
+                        sig_t, wa_schema, post=verify)
+    return out.sort(["id_a", "id_b"])
 
-    from .joins import groupby_agg_partitioned
 
-    ds = _read_docs(sf_dir)
-    pairs = (ds.map_batches(signatures, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .map_batches(_add_part, batch_format="pandas")
-             .groupby("__part")
-             .map_groups(partition_pairs, batch_format="pandas"))
-    # dedupe candidate pairs (a pair can collide in several bands);
-    # sim_64 is identical in every bucket row, so max is a no-op pick
-    min_matches = int(threshold * _N_PERMS)
-    verified = (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
-                                        {"sim_64": "max"})
-                .map_batches(lambda b: b.filter(
-                    pc.greater_equal(b.column("sim_64"), min_matches))
-                    .select(["id_a", "id_b", "sim_64"]),
-                    batch_format="pyarrow")
-                .sort(["id_a", "id_b"]))
-    return verified
+_PERMS_VALUES = ", ".join(
+    f"({j}, {int(a)}, {int(b)})"
+    for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))
 
+MINHASH_LSH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+perms(j, a, b) AS (VALUES {_PERMS_VALUES}),
+sigs AS (
+  SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS v
+  FROM (SELECT doc_id,
+               CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h
+        FROM sh)
+  CROSS JOIN perms GROUP BY doc_id, j
+),
+sigfull AS (
+  SELECT d.doc_id, p.j, COALESCE(s.v, 0) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.j = p.j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS key
+  FROM sigfull GROUP BY doc_id, j // 4
+),
+buckets AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 512
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN buckets k ON k.band = a.band AND k.key = a.key
+),
+sim AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT) AS sim_64
+  FROM cand c
+  JOIN sigfull sa ON sa.doc_id = c.id_a
+  JOIN sigfull sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, sim_64 FROM sim WHERE sim_64 >= 32 ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
 
 _TOKEN_HASH_CACHE: Dict[str, int] = {}
 
@@ -163,8 +325,7 @@ def _simhash64(text: str) -> int:
     for i, tok in enumerate(tokens):
         h = cache.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = _md5_low64(tok.encode())
             if len(cache) < 1_000_000:
                 cache[tok] = h
         hashes[i] = h
@@ -176,10 +337,19 @@ def _simhash64(text: str) -> int:
     return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 8):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
-    keys (a pair within hamming ≤ 3·16/64 … pigeonhole: any pair with
-    ≤ 3 differing bands shares ≥ 1 exact band), verified by popcount."""
+    keys.  Pigeonhole guarantee: a pair with hamming distance ≤ 3
+    differs in at most 3 of the 4 bands, so it shares ≥ 1 exact band
+    — recall is EXACT for the default ``max_hamming=3`` (raising it
+    past 3 requires more/narrower bands or multi-band probing; the
+    previous default of 8 silently dropped pairs whose differing bits
+    spread across all four bands).  Verified by vectorized popcount;
+    exact DuckDB oracle in SIMHASH_SQL."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4×16-bit banding guarantees recall only for hamming <= 3; "
+            "use more bands for a looser threshold")
 
     def fingerprints(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -200,15 +370,16 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Hash partition of band rows → pandas groupby over band
-        keys, vectorized hamming per hot bucket.  The _BUCKET_CAP
-        skip is the standard LSH hot-bucket heuristic — a bucket that
-        large means the band carries no signal; pairs in a skipped
-        bucket still surface via the other 3 bands."""
+        keys, vectorized hamming per bucket.  The fingerprint rides
+        the band rows here (8 bytes — same size as the doc_id, so no
+        payload blowup), letting verify happen in-bucket with no
+        join."""
+        df = df.drop_duplicates(["band_key", "doc_id"])
+        cnt = df["band_key"].value_counts()
+        keep_keys = cnt[(cnt >= 2) & (cnt <= _BUCKET_CAP)].index
+        df = df[df["band_key"].isin(keep_keys)].sort_values("doc_id")
         out = []
         for _, grp in df.groupby("band_key", sort=False):
-            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-            if not (2 <= len(grp) <= _BUCKET_CAP):
-                continue
             ids = grp["doc_id"].to_numpy()
             hs = (grp["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
                   + np.uint64(1 << 63))
@@ -223,8 +394,6 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
-
-    import pyarrow.compute as pc
 
     from .joins import groupby_agg_partitioned
 
@@ -244,71 +413,202 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     return out
 
 
+SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b AS bit,
+         SUM(CASE WHEN (md5_number_lower(t) >> b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN s.acc > 0
+                                THEN CAST(CAST(1 AS UBIGINT) << s.bit AS HUGEINT)
+                                ELSE 0 END), 0) AS UBIGINT) AS f
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN bits s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+bands AS (
+  SELECT doc_id, f, b AS band, (f >> (16 * b)) & 65535 AS key
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+buckets AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 512
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN buckets k ON k.band = a.band AND k.key = a.key
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via prefix filtering
+# ---------------------------------------------------------------------------
+
 def _trigram_set(text: str) -> set:
     t = text.lower()
     return {t[i:i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
 
 
-def dedup_ngram_jaccard(sf_dir: str, threshold_pct: int = 60):
-    """Exact char-trigram Jaccard pairs (10·inter ≥ τ%·union/10 …
-    integer compare: 10*inter >= (τ/10)*union with τ=60 → 10*inter >=
-    6*union) — SQL-oracle-checkable because every quantity is an
-    integer.  Ray side: broadcast binary incidence matrix (docs ×
-    trigram vocab), one matmul per batch block-row."""
-    import pyarrow.parquet as pq
+def dedup_ngram_jaccard(sf_dir: str, threshold_pct: int = 60,
+                        num_partitions: int = 16):
+    """Exact char-trigram Jaccard pairs (integer predicate
+    ``10*inter >= 6*union`` — SQL-oracle-checkable) as a PARTITIONED
+    BLOCK THETA-JOIN:
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    all_ids = np.asarray(t["doc_id"])
-    sets = [_trigram_set(x) for x in t["text"].to_pylist()]
-    vocab: Dict[str, int] = {}
-    for s in sets:
-        for g in s:
-            if g not in vocab:
-                vocab[g] = len(vocab)
-    inc = np.zeros((len(all_ids), len(vocab)), dtype=np.int32)
-    for i, s in enumerate(sets):
-        for g in s:
-            inc[i, vocab[g]] = 1
-    sizes = inc.sum(axis=1)
-    order = np.argsort(all_ids)
-    all_ids, inc, sizes = all_ids[order], inc[order], sizes[order]
-    bc = ray.put((all_ids, inc, sizes, vocab))
+    1. trigram vocab = a bounded driver aggregate (<= charset^3);
+       each doc's trigram set becomes a fixed-width BITSET over the
+       dense vocab (~48 B/doc here — 30x smaller than an id list);
+    2. bitsets are hash-partitioned into P blocks (one shuffle) and
+       MATERIALIZED as Arrow block refs — the driver holds only the
+       P refs, never the data;
+    3. P*(P+1)/2 Ray tasks each take two block refs and evaluate
+       their cross pairs with vectorized popcount(AND) — the exact
+       all-pairs workload, evenly spread, with per-task memory
+       bounded by (N/P)^2 * words.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, inc, sizes, vocab = ray.get(bc)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    Raw Ray tasks are used deliberately: an exact all-pairs theta-
+    join has no Dataset-API equivalent (reference semantics: the
+    O(N^2) PHP loop in ``ParseText``-era dedup scripts is replaced by
+    a distributed block product).  Candidate-prefilter variants
+    (prefix filtering / LSH) were rejected for THIS operator: the
+    testdata's ~380-trigram vocab makes every prefix bucket hot, so
+    any bucket cap silently loses true pairs — the subquadratic
+    scale path for real corpora is ``dedup_minhash_lsh``; this
+    operator is the exact ground truth."""
+    ds = _read_docs(sf_dir)
+
+    def explode_tris(batch: pa.Table) -> pa.Table:
+        tris = []
+        for text in batch.column("text").to_pylist():
+            tris.extend(_trigram_set(text))
+        return pa.table({"tri": pa.array(tris, pa.string()),
+                         "n": pa.array(np.ones(len(tris), np.int64))})
+
+    # bounded vocab aggregate: trigram -> stable dense id
+    from ray.data.aggregate import Sum
+
+    df_tbl = (ds.map_batches(explode_tris, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("tri").aggregate(Sum("n", alias_name="df"))
+              .to_pandas())
+    rank = {g: i for i, g in enumerate(sorted(df_tbl["tri"]))}
+    rank_ref = ray.put(rank)
+    n_vocab = len(rank)
+    n_words = (n_vocab + 63) // 64
+
+    def doc_bits(batch: pa.Table) -> pa.Table:
+        rank_d = ray.get(rank_ref)
         texts = batch.column("text").to_pylist()
-        m = np.zeros((len(ids), len(vocab)), dtype=np.int32)
-        my_sizes = np.zeros(len(ids), dtype=np.int64)
+        W = np.zeros((len(texts), n_words), np.uint64)
+        sizes = np.zeros(len(texts), np.int32)
         for i, text in enumerate(texts):
-            s = _trigram_set(text)
-            my_sizes[i] = len(s)
-            for g in s:
-                j = vocab.get(g)
-                if j is not None:
-                    m[i, j] = 1
-        inter = m @ inc.T  # (batch, all)
-        union = my_sizes[:, None] + sizes[None, :] - inter
-        mask = (10 * inter) >= ((threshold_pct // 10) * union)
-        rows, cols = np.where(mask)
-        a = ids[rows]
-        b = all_ids[cols]
-        sel = a < b
-        return pa.table({
-            "id_a": pa.array(a[sel], pa.int64()),
-            "id_b": pa.array(b[sel], pa.int64()),
-        })
+            tris = _trigram_set(text)
+            idx = np.fromiter((rank_d[g] for g in tris), np.int64,
+                              count=len(tris))
+            sizes[i] = len(idx)
+            if len(idx):
+                np.bitwise_or.at(
+                    W[i], idx >> 6,
+                    np.left_shift(np.uint64(1),
+                                  (idx & 63).astype(np.uint64)))
+        cols = {"doc_id": batch.column("doc_id"),
+                "n": pa.array(sizes, pa.int32())}
+        for j in range(n_words):
+            cols[f"w{j}"] = pa.array(W[:, j], pa.uint64())
+        return pa.table(cols)
 
-    return (_read_docs(sf_dir)
-            .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-            .sort(["id_a", "id_b"]))
+    # ANY row->block assignment works for a block theta-join (every
+    # unordered block pair is visited exactly once), so a plain
+    # repartition bounds block count with NO shuffle at all
+    packed = (ds.map_batches(doc_bits, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .repartition(num_partitions)
+              .materialize())
+    block_refs = packed.to_arrow_refs()
+
+    thr = threshold_pct // 10
+    wcols = [f"w{j}" for j in range(n_words)]
+
+    @ray.remote
+    def block_pairs(ta, tb, same: bool):
+        if isinstance(ta, pd.DataFrame):
+            ta = pa.Table.from_pandas(ta, preserve_index=False)
+        if isinstance(tb, pd.DataFrame):
+            tb = pa.Table.from_pandas(tb, preserve_index=False)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        # map_groups can emit schemaless empty blocks — nothing to pair
+        if ("doc_id" not in ta.schema.names or len(ta) == 0
+                or "doc_id" not in tb.schema.names or len(tb) == 0):
+            return empty
+        ids_a = ta.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_b = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        Wa = np.column_stack([ta.column(c).to_numpy(zero_copy_only=False)
+                              .astype(np.uint64) for c in wcols])
+        Wb = np.column_stack([tb.column(c).to_numpy(zero_copy_only=False)
+                              .astype(np.uint64) for c in wcols])
+        sa = ta.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = tb.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_b = [], []
+        # chunk rows of A so the (chunk, nb, words) AND tensor stays
+        # small regardless of partition size
+        chunk = max(1, 4_000_000 // max(1, len(ids_b) * len(wcols) * 8))
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            both = Wa[lo:hi, None, :] & Wb[None, :, :]
+            flat = np.ascontiguousarray(both).view(np.uint8)
+            inter = _POPLUT[flat].reshape(hi - lo, len(ids_b), -1) \
+                .sum(axis=2).astype(np.int64)
+            union = sa[lo:hi, None] + sb[None, :] - inter
+            keep = 10 * inter >= thr * union
+            if same:
+                keep &= ids_a[lo:hi, None] < ids_b[None, :]
+            else:
+                keep &= ids_a[lo:hi, None] != ids_b[None, :]
+            rr, cc = np.where(keep)
+            out_a.append(ids_a[lo:hi][rr])
+            out_b.append(ids_b[cc])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        lo_ = np.minimum(a, b)
+        hi_ = np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo_, pa.int64()),
+                         "id_b": pa.array(hi_, pa.int64())})
+
+    result_refs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            result_refs.append(
+                block_pairs.remote(block_refs[i], block_refs[j], i == j))
+    out = ray.data.from_arrow_refs(result_refs)
+    # cross-block tasks may emit a pair from only one orientation, but
+    # (i,j) blocks are visited once each so pairs are already unique
+    return out.sort(["id_a", "id_b"])
 
 
+# range bound derives from each row's own length (unnest(range(...)))
+# — the old CROSS JOIN range(1, 4000) silently truncated docs longer
+# than ~4 k chars
 NGRAM_JACCARD_SQL = """
 WITH g AS (
-  SELECT DISTINCT doc_id, substring(lower(text), CAST(r.i AS INT), 3) AS tri
-  FROM documents CROSS JOIN range(1, 4000) AS r(i)
-  WHERE length(text) >= 3 AND r.i <= length(text) - 2
+  SELECT DISTINCT doc_id, substring(lt, CAST(i AS INT), 3) AS tri
+  FROM (SELECT doc_id, lower(text) AS lt,
+               unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        FROM documents)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
 inter AS (

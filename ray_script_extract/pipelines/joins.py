@@ -102,7 +102,13 @@ def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
 def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           left_on: str, right_on: str,
                           num_partitions: int = 32,
-                          how: str = "inner") -> "ray.data.Dataset":
+                          how: str = "inner",
+                          dedupe_left: bool = False,
+                          post: Callable[[pd.DataFrame],
+                                         pd.DataFrame] | None = None,
+                          left_schema: "pa.Schema | None" = None,
+                          right_schema: "pa.Schema | None" = None
+                          ) -> "ray.data.Dataset":
     """Equi-join on integer keys, Arrow end-to-end until the
     per-partition merge.  Column sets must be disjoint apart from the
     key columns; the right key column is dropped after the merge
@@ -113,28 +119,73 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
     (Arrow nulls are dtype-preserving, unlike the pandas NaN fill this
     replaced).  Non-inner joins surface unmatched rows with pandas
     nullable Int64 on integer columns instead of crashing on the
-    int64 cast."""
+    int64 cast.  Non-primitive columns require Arrow-block inputs
+    (pandas-block object columns pad as string).
+
+    ``dedupe_left`` drops duplicate left rows inside each partition
+    BEFORE merging — correct globally whenever duplicates agree on the
+    join key (they hash to the same partition), which lets callers
+    fuse a dedupe that would otherwise cost its own shuffle.  ``post``
+    runs on the merged pandas frame inside the same task (fuse a
+    verify/filter step instead of paying another stage).
+
+    Pass ``left_schema``/``right_schema`` (pa.Schema) whenever an
+    input is a LAZY pipeline: ``Dataset.schema()`` on a lazy dataset
+    EXECUTES its upstream operators as a probe, so a chained join
+    without explicit schemas silently re-runs the previous join's
+    whole pipeline."""
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r}")
 
-    left_schema, right_schema = left.schema(), right.schema()
+    def _arrow_types(schema):
+        # pandas-block datasets report numpy dtypes; normalize to Arrow
+        out = []
+        for t in schema.types:
+            if isinstance(t, pa.DataType):
+                out.append(t)
+            elif t == np.dtype(object):
+                out.append(pa.string())
+            else:
+                out.append(pa.from_numpy_dtype(t))
+        return out
+
+    if left_schema is None:
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
+    left_types = _arrow_types(left_schema)
+    right_types = _arrow_types(right_schema)
     left_cols: List[str] = list(left_schema.names)
     right_cols: List[str] = list(right_schema.names)
     overlap = (set(left_cols) & set(right_cols)) - {left_on}
     if overlap:
         raise ValueError(f"non-key column overlap: {sorted(overlap)}")
-    pad_for_left = [(n, t) for n, t in zip(right_schema.names,
-                                           right_schema.types)
+    pad_for_left = [(n, t) for n, t in zip(right_schema.names, right_types)
                     if n not in left_cols]
-    pad_for_right = [(n, t) for n, t in zip(left_schema.names,
-                                            left_schema.types)
+    pad_for_right = [(n, t) for n, t in zip(left_schema.names, left_types)
                      if n not in right_cols]
     all_cols = left_cols + [n for n, _ in pad_for_left]
+
+    def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
+        # ZERO-FILL, not nulls: Ray's sort may round-trip blocks
+        # through pandas, where a null-padded int/uint column floats
+        # to float64 (silently corrupting uint64 bitsets and int
+        # keys).  Pad values are never read — the merge splits sides
+        # on __side before touching any column.
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.nulls(n, typ).fill_null(0)
+        if pa.types.is_string(typ):
+            return pa.nulls(n, typ).fill_null("")
+        if pa.types.is_list(typ):
+            offsets = pa.array(np.zeros(n + 1, np.int32))
+            return pa.ListArray.from_arrays(offsets,
+                                            pa.array([], typ.value_type))
+        return pa.nulls(n, typ)
 
     def tag(side_flag: int, key: str, pads):
         def fn(tbl: pa.Table) -> pa.Table:
             for name, typ in pads:
-                tbl = tbl.append_column(name, pa.nulls(len(tbl), typ))
+                tbl = tbl.append_column(name, _pad_array(len(tbl), typ))
             tbl = tbl.select(all_cols)
             k = tbl.column(key).to_numpy(zero_copy_only=False)
             tbl = tbl.append_column(
@@ -152,8 +203,9 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
     unioned = lt.union(rt)
 
     out_cols = left_cols + [c for c in right_cols if c != right_on]
-    int_cols = {name for schema in (left_schema, right_schema)
-                for name, typ in zip(schema.names, schema.types)
+    int_cols = {name for names, types in ((left_cols, left_types),
+                                          (right_cols, right_types))
+                for name, typ in zip(names, types)
                 if pa.types.is_integer(typ)}
 
     def merge(tbl: pa.Table) -> pa.Table:
@@ -162,12 +214,16 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # to_pandas keeps exact integer dtypes
         ldf = tbl.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
         rdf = tbl.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+        if dedupe_left:
+            ldf = ldf.drop_duplicates()
         merged = ldf.merge(rdf, left_on=left_on, right_on=right_on,
                            how=how)[out_cols]
         if how != "inner":
             for c in out_cols:
                 if c in int_cols and merged[c].isna().any():
                     merged[c] = merged[c].astype("Int64")
+        if post is not None:
+            merged = post(merged)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")

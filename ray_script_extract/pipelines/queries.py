@@ -123,7 +123,12 @@ def q3_top_orders(sf_dir: str):
     from .joins import hash_join_via_groupby
 
     rev, orders = _q3_revenue(sf_dir)
-    joined = hash_join_via_groupby(rev, orders, "l_orderkey", "o_orderkey")
+    joined = hash_join_via_groupby(
+        rev, orders, "l_orderkey", "o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
     out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
                  .limit(10)
                  .map_batches(lambda b: b.select(
@@ -164,26 +169,26 @@ LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str):
-    """Revenue by region where customer and supplier share a nation —
-    a 5-way join done map-side: all dimension tables are broadcast
-    (read once on the driver, shipped into tasks), so the only
-    distributed pass is ONE vectorized scan of lineitem.  At 100 TB
-    the orders side would graduate from broadcast dict to
-    Dataset.join; dims stay broadcast."""
+    """Revenue by region where customer and supplier share a nation.
+    Distributed shape: TRUE dimensions (customer, supplier, nation,
+    region) are broadcast once via ray.put — but the orders FACT table
+    is never driver-materialized; lineitem⨝orders goes through the
+    partitioned shuffle join (hash_join_via_groupby), with lineitem
+    pre-reduced per (orderkey, supplier-nation) so the shuffle carries
+    partial sums, not raw line items."""
     import pyarrow.parquet as pq
 
-    orders_t = pq.read_table(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
-    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"])
+    from .joins import groupby_agg_partitioned, hash_join_via_groupby
+
     supp_t = pq.read_table(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_nationkey"])
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
     nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_regionkey"])
     region_t = pq.read_table(f"{sf_dir}/region.parquet",
                              columns=["r_regionkey", "r_name"])
 
-    # Dense-array lookup tables (int index -> value), shared via ray.put
     def as_map(keys, vals):
         k = np.asarray(keys)
         v = np.asarray(vals)
@@ -191,36 +196,71 @@ def q5_region_revenue(sf_dir: str):
         out[k] = v
         return out
 
-    order_cust = as_map(orders_t["o_orderkey"], orders_t["o_custkey"])
-    cust_nation = as_map(cust_t["c_custkey"], cust_t["c_nationkey"])
     supp_nation = as_map(supp_t["s_suppkey"], supp_t["s_nationkey"])
+    cust_nation = as_map(cust_t["c_custkey"], cust_t["c_nationkey"])
     nation_region = as_map(nation_t["n_nationkey"], nation_t["n_regionkey"])
     region_names = region_t["r_name"].to_pylist()
-    maps_ref = ray.put((order_cust, cust_nation, supp_nation, nation_region))
+    dims_ref = ray.put((supp_nation, cust_nation, nation_region))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def local_join(batch: pa.Table) -> pa.Table:
-        order_cust, cust_nation, supp_nation, nation_region = ray.get(maps_ref)
+    def tag_supplier_nation(batch: pa.Table) -> pa.Table:
+        supp_nation, _, _ = ray.get(dims_ref)
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        c_nat = cust_nation[order_cust[ok]]
-        s_nat = supp_nation[sk]
-        keep = c_nat == s_nat
-        region = nation_region[s_nat[keep]]
         return pa.table({
-            "regionkey": pa.array(region, pa.int64()),
-            "rev_cents": pa.array(_cents_np(price[keep] * (1.0 - disc[keep])),
-                                  pa.int64()),
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "s_nat": pa.array(supp_nation[sk], pa.int64()),
+            "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
         })
 
-    agg = (li.map_batches(local_join, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby("regionkey")
-             .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
-             .to_pandas())
+    # pre-reduce per (orderkey, s_nat): shrinks the join shuffle to
+    # ~one row per order before any all-to-all movement
+    li_pre = groupby_agg_partitioned(
+        li.map_batches(tag_supplier_nation, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey", "s_nat"], {"rev_cents": "sum"})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_customer_nation(batch: pa.Table) -> pa.Table:
+        _, cust_nation, _ = ray.get(dims_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "c_nat": pa.array(cust_nation[ck], pa.int64()),
+        })
+
+    orders_nat = orders.map_batches(tag_customer_nation,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    joined = hash_join_via_groupby(
+        li_pre, orders_nat, "l_orderkey", "o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("s_nat", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int64())]))
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        _, _, nation_region = ray.get(dims_ref)
+        s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev_cents").to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        return pa.table({
+            "regionkey": pa.array(nation_region[s_nat[keep]], pa.int64()),
+            "rev_cents": pa.array(rev[keep], pa.int64()),
+        })
+
+    agg = (joined.map_batches(to_region, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("regionkey")
+                 .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+                 .to_pandas())
     agg["r_name"] = [region_names[int(r)] for r in agg["regionkey"]]
     out = agg[["r_name", "revenue_cents"]].sort_values("r_name").reset_index(drop=True)
     return out
@@ -242,37 +282,40 @@ ORDER BY r_name
 
 
 def top_brands_by_revenue(sf_dir: str):
-    """lineitem ⨝ part (broadcast) → revenue per brand."""
-    import pyarrow.parquet as pq
-
-    part_t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    pk = np.asarray(part_t["p_partkey"])
-    brands = part_t["p_brand"].to_pylist()
-    brand_codes, brand_names = pd.factorize(pd.Series(brands))
-    lookup = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
-    lookup[pk] = brand_codes
-    lookup_ref = ray.put(lookup)
+    """lineitem ⨝ part → revenue per brand.  part scales with the
+    data (it is NOT a constant-size dimension), so nothing is
+    driver-materialized: lineitem is pre-reduced per partkey (one row
+    per part survives), joined to part via the partitioned shuffle
+    join, then re-aggregated over the tiny brand domain."""
+    from .joins import groupby_agg_partitioned, hash_join_via_groupby
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def tag(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        partkey = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+    def cents(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         return pa.table({
-            "brand_code": pa.array(lut[partkey], pa.int64()),
+            "l_partkey": batch.column("l_partkey"),
             "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+            "n_items": pa.array(np.ones(len(batch), np.int64), pa.int64()),
         })
 
-    agg = (li.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby("brand_code")
-             .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
-                        Count(alias_name="n_items"))
-             .to_pandas())
-    agg["p_brand"] = [brand_names[int(c)] for c in agg["brand_code"]]
-    out = (agg[["p_brand", "revenue_cents", "n_items"]]
-           .sort_values("p_brand").reset_index(drop=True))
+    li_pre = groupby_agg_partitioned(
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], {"rev_cents": "sum", "n_items": "sum"})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = hash_join_via_groupby(
+        li_pre, part, "l_partkey", "p_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("rev_cents", pa.int64()),
+                               ("n_items", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string())]))
+    out = (joined.groupby("p_brand")
+                 .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
+                            Sum("n_items", alias_name="n_items"))
+                 .sort("p_brand"))
     return out
 
 
@@ -968,7 +1011,9 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 from .dedup import (  # noqa: E402
+    MINHASH_LSH_SQL,
     NGRAM_JACCARD_SQL,
+    SIMHASH_SQL,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
@@ -1015,9 +1060,10 @@ QUERIES: Dict[str, Callable] = {
     "scene_stats": scene_stats,
 }
 
-from .similarity import knn_cosine_ivf  # noqa: E402
+from .similarity import knn_cosine_ivf, near_dup_embeddings_lsh  # noqa: E402
 
 QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
+QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -1044,8 +1090,9 @@ ORACLE_SQL: Dict[str, str] = {
     "knn_cosine": KNN_COSINE_SQL,
     "near_dup_embeddings": NEAR_DUP_EMB_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
     "doc_quality": DOC_QUALITY_SQL,
-    # dedup_minhash_lsh, dedup_simhash, langid_ngram, media_features:
-    # non-SQL-expressible (LSH banding, simhash popcount, profile
+    # langid_ngram, media_features: non-SQL-expressible (profile
     # classifier, model scoring) → rows-only checks
 }

@@ -1,4 +1,5 @@
-"""ANN (IVF) vs brute-force: recall bound on real testdata."""
+"""ANN (IVF) + embedding LSH near-dup vs brute-force: recall bounds
+on real testdata."""
 
 from __future__ import annotations
 
@@ -28,9 +29,30 @@ def test_ivf_recall_vs_bruteforce():
 def test_kmeans_deterministic():
     import numpy as np
 
-    from ray_script_extract.pipelines.similarity import _load_matrix, kmeans_fit
+    from ray_script_extract.pipelines.similarity import (
+        _sample_matrix,
+        kmeans_fit,
+    )
 
-    _, mat = _load_matrix(SF)
+    mat = _sample_matrix(SF)
     c1 = kmeans_fit(mat, 8)
     c2 = kmeans_fit(mat, 8)
     assert np.array_equal(c1, c2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_recall_vs_exact():
+    """The bucketed near-dup must recover ~all pairs the exact
+    O(N²) path finds (32 bands × 4 bits ⇒ ≥ ~99.5% recall at the
+    τ=0.4 boundary), with zero false positives (exact verify)."""
+    from ray_script_extract.pipelines.queries import near_dup_embeddings
+    from ray_script_extract.pipelines.similarity import near_dup_embeddings_lsh
+
+    exact = near_dup_embeddings(SF).to_pandas()
+    approx = near_dup_embeddings_lsh(SF).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_pairs <= exact_pairs, "LSH path produced a false positive"
+    if exact_pairs:
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
