@@ -185,6 +185,16 @@ def write_corpus_parquet(num_docs: int, out_dir: str, seed: int = 42,
               for s in range(0, num_docs, docs_per_shard)]
     paths = [os.path.join(out_dir, f"shard-{i:05d}.parquet")
              for i in range(len(shards))]
+    expected = {os.path.basename(p) for p in paths}
+    if os.path.isdir(out_dir):
+        # stale SURPLUS shards from a previous larger run would be
+        # read back as extra documents (same bug class as the shard-
+        # size collision fixed earlier) — remove before the
+        # idempotence check
+        for name in os.listdir(out_dir):
+            if (name.startswith("shard-") and name.endswith(".parquet")
+                    and name not in expected):
+                os.remove(os.path.join(out_dir, name))
     if all(os.path.exists(p) for p in paths):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

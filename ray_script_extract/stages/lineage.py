@@ -39,19 +39,23 @@ def fragment_key(descriptor: str) -> str:
     return hashlib.sha256(descriptor.encode()).hexdigest()[:16]
 
 
-def _checksum_table(table: pa.Table) -> str:
-    """Deterministic content hash of a table (row-order sensitive)."""
+def _file_sha256(path: str) -> str:
+    """Checksum of the data file's BYTES — what resume re-verifies.
+    (Hashing the in-memory Arrow buffers instead would not survive a
+    parquet round-trip: encodings change the byte layout.)"""
     h = hashlib.sha256()
-    for batch in table.to_batches():
-        for col in batch.columns:
-            for buf in col.buffers():
-                if buf is not None:
-                    h.update(buf)
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
     return h.hexdigest()
 
 
 def completed_partitions(output_dir: str) -> Dict[str, Dict]:
-    """Read all valid lineage records under output_dir."""
+    """Read all VERIFIED lineage records under output_dir: a partition
+    counts as done only when the data file's recomputed sha256 matches
+    the recorded checksum (size alone passes a same-length corruption;
+    the re-hash costs one sequential read per finished partition at
+    startup, which is the price of the exact-resume guarantee)."""
     done: Dict[str, Dict] = {}
     if not os.path.isdir(output_dir):
         return done
@@ -66,25 +70,30 @@ def completed_partitions(output_dir: str) -> Dict[str, Dict]:
                 record = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if record.get("size_bytes") == os.path.getsize(data_path):
+        if (record.get("size_bytes") == os.path.getsize(data_path)
+                and record.get("checksum") == _file_sha256(data_path)):
             done[record["fragment_key"]] = record
     return done
 
 
 def write_partition(output_dir: str, key: str, table: pa.Table,
                     descriptor: str, metrics: Optional[Dict] = None) -> Dict:
-    """Write one partition + its lineage record atomically."""
+    """Write one partition + its lineage record atomically.  The data
+    file is fsynced BEFORE the lineage record exists, so a crash can
+    never leave a valid _LINEAGE.json next to unsynced data."""
     part_dir = os.path.join(output_dir, f"part-{key}")
     os.makedirs(part_dir, exist_ok=True)
     data_path = os.path.join(part_dir, "data.parquet")
     tmp_path = data_path + ".tmp"
     pq.write_table(table, tmp_path)
+    with open(tmp_path, "rb+") as f:
+        os.fsync(f.fileno())
     os.replace(tmp_path, data_path)
     record = {
         "fragment_key": key,
         "input_fragment": descriptor,
         "row_count": table.num_rows,
-        "checksum": _checksum_table(table),
+        "checksum": _file_sha256(data_path),
         "size_bytes": os.path.getsize(data_path),
         "written_unix": time.time(),
         "metrics": metrics or {},

@@ -55,3 +55,46 @@ def test_resumable_extract_exactly_once(tmp_path):
         pq.read_table(os.path.join(out, p, "data.parquet")).num_rows
         for p in sorted(os.listdir(out)) if p.startswith("part-"))
     assert total_rows == 120
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_same_size_corruption_is_redone(tmp_path):
+    """A data file corrupted WITHOUT changing its size must fail the
+    checksum re-verify and be re-extracted on resume (size-only
+    validation would silently accept it)."""
+    from ray_script_extract.stages.lineage import (
+        completed_partitions,
+        run_resumable_extract,
+    )
+
+    out = str(tmp_path / "extract_out")
+    run_resumable_extract(60, out, docs_per_shard=30)
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    data = os.path.join(out, parts[0], "data.parquet")
+    raw = bytearray(open(data, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # flip one byte, same length
+    open(data, "wb").write(bytes(raw))
+
+    assert len(completed_partitions(out)) == 1
+    summary = run_resumable_extract(60, out, docs_per_shard=30)
+    assert summary["partitions_written"] == 1
+    assert summary["partitions_skipped"] == 1
+    assert len(completed_partitions(out)) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_dir_stale_surplus_shards_removed(tmp_path):
+    """Reusing a corpus dir with a smaller num_docs must not leave the
+    previous run's surplus shards to be read as extra documents."""
+    import pyarrow.parquet as _pq
+
+    from ray_script_extract.corpus import write_corpus_parquet
+
+    d = str(tmp_path / "corpus")
+    write_corpus_parquet(100, d, docs_per_shard=25)  # 4 shards
+    assert len(os.listdir(d)) == 4
+    write_corpus_parquet(50, d, docs_per_shard=25)   # 2 shards
+    names = sorted(os.listdir(d))
+    assert names == ["shard-00000.parquet", "shard-00001.parquet"]
+    total = sum(_pq.read_table(os.path.join(d, n)).num_rows for n in names)
+    assert total == 50
