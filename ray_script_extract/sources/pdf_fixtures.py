@@ -16,11 +16,28 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def page_content(lines: Sequence[Tuple[int, int, str]],
-                 page_h: int = 792) -> bytes:
-    """lines: [(top, left, text)] on the engine's pixel grid."""
+def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
+    """lines: [(top, left, text)] or [(top, left, text, opts)] on the
+    engine's pixel grid; opts may carry ``color`` ((r,g,b) floats in
+    0..1) and ``font`` ('F1' Courier / 'F2' Courier-Bold /
+    'F3' Courier-Oblique)."""
     parts = ["BT", f"/F1 {SIZE_PT} Tf"]
-    for top, left, text in lines:
+    cur_font = "F1"
+    cur_color = None
+    for line in lines:
+        top, left, text = line[0], line[1], line[2]
+        opts = line[3] if len(line) > 3 else {}
+        font = opts.get("font", "F1")
+        if font != cur_font:
+            parts.append(f"/{font} {SIZE_PT} Tf")
+            cur_font = font
+        color = opts.get("color")
+        if color != cur_color:
+            if color is None:
+                parts.append("0 g")
+            else:
+                parts.append(f"{color[0]:g} {color[1]:g} {color[2]:g} rg")
+            cur_color = color
         ty = page_h - top - SIZE_PX
         parts.append(f"1 0 0 1 {left} {ty} Tm")
         parts.append(f"({_escape_pdf_string(text)}) Tj")
@@ -28,11 +45,16 @@ def page_content(lines: Sequence[Tuple[int, int, str]],
     return "\n".join(parts).encode("latin-1")
 
 
-def build_pdf(pages: List[Sequence[Tuple[int, int, str]]],
+def build_pdf(pages: List[Sequence[Tuple]],
               compress: bool = True, page_w: int = 612,
-              page_h: int = 792) -> bytes:
+              page_h: int = 792, objstm: bool = False) -> bytes:
     """Build a PDF with a 2-level page tree (pages split into two
-    /Pages nodes when >1 page) and one Courier font."""
+    /Pages nodes when >1 page) and Courier / Courier-Bold /
+    Courier-Oblique fonts.  ``objstm=True`` serializes it PDF-1.5
+    style: every non-stream object packed into a /Type /ObjStm
+    container and a /Type /XRef cross-reference STREAM (Flate +
+    /Predictor 12) instead of the classic xref table — same document,
+    modern layout."""
     objects: List[bytes] = []
 
     def add(obj_body: bytes) -> int:
@@ -40,6 +62,10 @@ def build_pdf(pages: List[Sequence[Tuple[int, int, str]]],
         return len(objects)  # 1-based object number
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    font_bold = add(b"<< /Type /Font /Subtype /Type1 "
+                    b"/BaseFont /Courier-Bold >>")
+    font_obl = add(b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Courier-Oblique >>")
 
     content_nums = []
     for page_lines in pages:
@@ -70,7 +96,8 @@ def build_pdf(pages: List[Sequence[Tuple[int, int, str]]],
         add((f"<< /Type /Page /Parent {parent_of[i]} 0 R "
              f"/Contents {content_nums[i]} 0 R >>").encode())
 
-    resources = f"<< /Font << /F1 {font_num} 0 R >> >>"
+    resources = (f"<< /Font << /F1 {font_num} 0 R /F2 {font_bold} 0 R "
+                 f"/F3 {font_obl} 0 R >> >>")
     if n > 1:
         kids_a = " ".join(f"{p} 0 R" for p in page_nums[:split])
         kids_b = " ".join(f"{p} 0 R" for p in page_nums[split:])
@@ -88,6 +115,9 @@ def build_pdf(pages: List[Sequence[Tuple[int, int, str]]],
              f"/Resources {resources} >>").encode())
     catalog_num = add(f"<< /Type /Catalog /Pages {root_num} 0 R >>".encode())
 
+    if objstm:
+        return _serialize_objstm(objects, catalog_num)
+
     # serialize with a classic xref table
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -101,6 +131,70 @@ def build_pdf(pages: List[Sequence[Tuple[int, int, str]]],
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _serialize_objstm(objects: List[bytes], catalog_num: int) -> bytes:
+    """PDF 1.5 layout: non-stream objects live ONLY inside a
+    compressed /ObjStm; the cross-reference is a /Type /XRef stream
+    with PNG /Predictor 12 — the shape most post-2005 writers emit."""
+    is_stream = [b"stream" in body for body in objects]
+    packed = [(i + 1, body) for i, body in enumerate(objects)
+              if not is_stream[i]]
+    # object-stream payload: "num off num off ..." header + bodies
+    bodies = bytearray()
+    heads = []
+    for num, body in packed:
+        heads.append((num, len(bodies)))
+        bodies += body + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in heads).encode() + b"\n"
+    payload = zlib.compress(header + bytes(bodies))
+    objstm_num = len(objects) + 1
+    xref_num = len(objects) + 2
+    objstm_body = (f"<< /Type /ObjStm /N {len(packed)} "
+                   f"/First {len(header)} /Filter /FlateDecode "
+                   f"/Length {len(payload)} >>\n").encode() \
+        + b"stream\n" + payload + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict = {}
+    for i, body in enumerate(objects, start=1):
+        if is_stream[i - 1]:
+            offsets[i] = len(out)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+
+    # xref stream rows, W = [1 4 2]
+    offsets[xref_num] = len(out)  # the xref stream object itself
+    n_total = xref_num + 1
+    rows = bytearray()
+    packed_index = {num: idx for idx, (num, _) in enumerate(packed)}
+    for num in range(n_total):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") \
+                + packed_index[num].to_bytes(2, "big")
+    # PNG Up-predictor encode (row width 7)
+    width = 7
+    enc = bytearray()
+    prev = bytes(width)
+    for r0 in range(0, len(rows), width):
+        row = bytes(rows[r0:r0 + width])
+        enc.append(2)
+        enc += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    xref_payload = zlib.compress(bytes(enc))
+    xref_pos = len(out)
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {n_total} "
+            f"/W [1 4 2] /Root {catalog_num} 0 R /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns {width} >> "
+            f"/Length {len(xref_payload)} >>\n").encode()
+    out += b"stream\n" + xref_payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 

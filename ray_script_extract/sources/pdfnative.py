@@ -12,11 +12,30 @@ Supported subset (matches FIXTURES.md §4):
 * object scan (robust to missing/odd xref: we scan ``N 0 obj``),
   classic dictionaries / arrays / names / numbers / strings
   (literal + hex) / indirect refs / streams;
-* /FlateDecode (zlib) and unfiltered streams;
+* PDF 1.5+ compressed object streams: every ``/Type /ObjStm``
+  container found by the scan is inflated and its packed objects
+  added to the object map (objects from incremental-update direct
+  scans win on number collision), so post-2005 PDFs whose page
+  tree / fonts live only inside ObjStm extract identically to their
+  classic twins — ``/Type /XRef`` cross-reference streams need no
+  separate handling because discovery is scan-based, but their
+  PNG-predictored Flate data decodes via the DecodeParms support;
+* filters: /FlateDecode and /LZWDecode (with PNG predictors 2/10–15
+  via /DecodeParms), /ASCIIHexDecode, /ASCII85Decode,
+  /RunLengthDecode; /DCTDecode and /JPXDecode pass through (image
+  payloads — never text content);
 * page tree traversal with /Kids recursion and /MediaBox /Resources
   inheritance (multi-level trees exercised by fixtures);
 * content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
-  numbers), ' — with the text matrix tracked;
+  numbers), ' — with the text matrix tracked; fill-color operators
+  rg / g / k / sc / scn (component-count heuristic for scn) feed the
+  emitted ``<fontspec color>`` so Colors_List revision inference
+  (``ParseText.php:691-989``) fires from raw PDFs;
+* font family from /BaseFont (subset prefix stripped); Bold /
+  Italic / Oblique name flags — OR'd with /FontDescriptor /Flags
+  bits 7 (italic) and 19 (force-bold) — wrap runs in ``<b>``/``<i>``
+  exactly like poppler's pdftohtml, driving textAttributes ranges
+  (``ParseText.php:70-95``);
 * widths via Courier standard-14 fixed 600/1000 advance or an
   embedded /Widths array; ToUnicode bfchar CMaps (hex) for decode;
 * WinAnsi/latin-1 byte decode otherwise.
@@ -251,6 +270,95 @@ class _Lexer:
         return d
 
 
+def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG row filters (types 0–4) — xref streams are almost
+    always Flate + /Predictor 12."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) + rowlen:  # allow short last row
+        if pos >= len(data):
+            break
+        ftype = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        pos += 1 + len(row)
+        if ftype == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: 9→12-bit codes, clear=256, EOD=257."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
 class PdfDocument:
     def __init__(self, raw: bytes) -> None:
         self.raw = raw
@@ -262,6 +370,40 @@ class PdfDocument:
                 self.objects[num] = lex.parse_object()
             except Exception:
                 continue
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """Inflate every /Type /ObjStm container into the object map —
+        the PDF 1.5+ path where most objects (page tree, fonts, ...)
+        are invisible to the raw ``N 0 obj`` scan.  A number already
+        claimed by a directly-scanned object is kept (incremental
+        updates append uncompressed objects that supersede packed
+        ones)."""
+        for num, obj in list(self.objects.items()):
+            if not (isinstance(obj, Stream)
+                    and self.resolve(obj.dict.get("/Type")) == "/ObjStm"):
+                continue
+            try:
+                data = self.stream_data(obj)
+            except Exception:
+                continue
+            n = int(self.resolve(obj.dict.get("/N")) or 0)
+            first = int(self.resolve(obj.dict.get("/First")) or 0)
+            lex = _Lexer(data)
+            heads: List[Tuple[int, int]] = []
+            for _ in range(n):
+                onum = lex.parse_object()
+                ooff = lex.parse_object()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    break
+                heads.append((onum, ooff))
+            for onum, ooff in heads:
+                if onum in self.objects:
+                    continue
+                try:
+                    self.objects[onum] = _Lexer(data, first + ooff).parse_object()
+                except Exception:
+                    continue
 
     def resolve(self, obj):
         seen = 0
@@ -272,16 +414,58 @@ class PdfDocument:
 
     def stream_data(self, stream: Stream) -> bytes:
         filt = self.resolve(stream.dict.get("/Filter"))
+        parms = self.resolve(stream.dict.get("/DecodeParms")) \
+            or self.resolve(stream.dict.get("/DP"))
         data = stream.data
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, p in zip(filters, parms_list):
             f = self.resolve(f)
+            p = self.resolve(p) or {}
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+            elif f == "/LZWDecode":
+                data = _lzw_decode(
+                    data, int(self.resolve(p.get("/EarlyChange")) or 1))
+            elif f == "/ASCIIHexDecode":
+                hexstr = re.sub(rb"[^0-9A-Fa-f]", b"",
+                                data.split(b">", 1)[0])
+                if len(hexstr) % 2:
+                    hexstr += b"0"
+                data = bytes.fromhex(hexstr.decode("ascii"))
+                continue  # predictors don't apply
+            elif f == "/ASCII85Decode":
+                import base64
+                payload = data.split(b"~>", 1)[0]
+                payload = re.sub(rb"\s", b"", payload)
+                data = base64.a85decode(payload, adobe=False)
+                continue
+            elif f == "/RunLengthDecode":
+                data = _runlength_decode(data)
+                continue
+            elif f in ("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode",
+                       "/JBIG2Decode"):
+                return data  # opaque image payload — never text
             elif f is None:
-                pass
+                continue
             else:
                 raise NotImplementedError(f"PDF filter {f} not supported")
+            pred = int(self.resolve(p.get("/Predictor")) or 1)
+            if pred == 2:  # TIFF horizontal differencing (8-bit comps)
+                colors = int(self.resolve(p.get("/Colors")) or 1)
+                columns = int(self.resolve(p.get("/Columns")) or 1)
+                row = columns * colors
+                buf = bytearray(data)
+                for r0 in range(0, len(buf), row):
+                    for i in range(r0 + colors, min(r0 + row, len(buf))):
+                        buf[i] = (buf[i] + buf[i - colors]) & 0xFF
+                data = bytes(buf)
+            elif pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(self.resolve(p.get("/Colors")) or 1),
+                    int(self.resolve(p.get("/BitsPerComponent")) or 8),
+                    int(self.resolve(p.get("/Columns")) or 1))
         return data
 
     def catalog(self) -> Optional[Dict]:
@@ -330,6 +514,23 @@ class _Font:
         widths = doc.resolve(font_dict.get("/Widths"))
         self.widths = [doc.resolve(w) for w in widths] if widths else None
         self.to_unicode = self._parse_tounicode(doc, font_dict)
+        # family + style flags, pdftohtml-style: subset prefix
+        # (ABCDEF+) stripped, style read from the PostScript name and
+        # OR'd with FontDescriptor flag bits (7 = italic, 19 = bold)
+        name = str(self.base).lstrip("/")
+        m = re.match(r"[A-Z]{6}\+(.*)", name)
+        if m:
+            name = m.group(1)
+        self.family = re.split(r"[-,]", name)[0] or "Courier"
+        self.bold = "Bold" in name
+        self.italic = ("Italic" in name) or ("Oblique" in name)
+        desc = doc.resolve(font_dict.get("/FontDescriptor"))
+        if isinstance(desc, dict):
+            flags = doc.resolve(desc.get("/Flags"))
+            if isinstance(flags, (int, float)):
+                flags = int(flags)
+                self.italic = self.italic or bool(flags & (1 << 6))
+                self.bold = self.bold or bool(flags & (1 << 18))
 
     @staticmethod
     def _parse_tounicode(doc: PdfDocument, font_dict: Dict) -> Optional[Dict[int, str]]:
@@ -375,16 +576,23 @@ class _Font:
 
 
 class _TextRun:
-    __slots__ = ("x", "y", "width", "size", "text", "font_key")
+    __slots__ = ("x", "y", "width", "size", "text", "font_key",
+                 "family", "color", "bold", "italic")
 
     def __init__(self, x: float, y: float, width: float, size: float,
-                 text: str, font_key: str) -> None:
+                 text: str, font_key: str, family: str = "Courier",
+                 color: str = "#000000", bold: bool = False,
+                 italic: bool = False) -> None:
         self.x = x
         self.y = y
         self.width = width
         self.size = size
         self.text = text
         self.font_key = font_key
+        self.family = family
+        self.color = color
+        self.bold = bold
+        self.italic = italic
 
 
 def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], float, float]:
@@ -421,6 +629,23 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
     ctm = [1.0, 1.0, 0.0, 0.0]  # sx, sy, tx0, ty0
     ctm_stack: List[List[float]] = []
 
+    fill_color = "#000000"
+
+    def _rgb_hex(r: float, g: float, b: float) -> str:
+        clamp = lambda v: max(0, min(255, round(v * 255)))  # noqa: E731
+        return f"#{clamp(r):02x}{clamp(g):02x}{clamp(b):02x}"
+
+    def _components_to_hex(comps: List[float]) -> str:
+        if len(comps) == 1:  # gray
+            return _rgb_hex(comps[0], comps[0], comps[0])
+        if len(comps) == 3:  # rgb
+            return _rgb_hex(*comps)
+        if len(comps) == 4:  # cmyk
+            c, m_, y_, k_ = comps
+            return _rgb_hex((1 - min(1, c + k_)), (1 - min(1, m_ + k_)),
+                            (1 - min(1, y_ + k_)))
+        return "#000000"
+
     def show(raw: bytes, adjust: float = 0.0) -> None:
         nonlocal tx
         if font is None or not raw:
@@ -436,7 +661,10 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
         # use cancels out, so the uniform top = H - y - size emission
         # holds for both authored fixtures and real-world flipped PDFs
         runs.append(_TextRun(dev_x, dev_y, text_adv * abs(ctm[0]),
-                             size * abs(scale_y * ctm[1]), text, font_key))
+                             size * abs(scale_y * ctm[1]), text,
+                             f"{font_key}:{fill_color}",
+                             font.family, fill_color,
+                             font.bold, font.italic))
         tx += text_adv
 
     while True:
@@ -496,6 +724,22 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
                         show(bytes(item))
                     elif isinstance(item, (int, float)):
                         tx -= float(item) / 1000.0 * size * scale_x
+            # fill-color operators (stroke variants ignored — text
+            # renders with the fill color); scn components may include
+            # a trailing pattern name, so keep only numerics
+            elif op == b"rg" and len(stack) >= 3:
+                fill_color = _components_to_hex(
+                    [float(v) for v in stack[-3:]])
+            elif op == b"g" and stack:
+                fill_color = _components_to_hex([float(stack[-1])])
+            elif op == b"k" and len(stack) >= 4:
+                fill_color = _components_to_hex(
+                    [float(v) for v in stack[-4:]])
+            elif op in (b"sc", b"scn"):
+                comps = [float(v) for v in stack
+                         if isinstance(v, (int, float))]
+                if comps:
+                    fill_color = _components_to_hex(comps)
             stack.clear()
         else:
             stack.append(obj)
@@ -517,15 +761,23 @@ def pdf_to_page_xml(raw: bytes) -> List[str]:
                 spec_ids[run.font_key] = len(spec_ids)
                 specs.append(
                     f'<fontspec id="{spec_ids[run.font_key]}" '
-                    f'size="{run.size:g}" family="Courier" color="#000000"/>')
+                    f'size="{run.size:g}" family="{escape(run.family)}" '
+                    f'color="{run.color}"/>')
             size_px = math.floor(run.size * 4 / 3)
             top = round(page_h - run.y - size_px)
             left = round(run.x)
             width = round(run.width)
+            inner = escape(_XML_INVALID.sub("", run.text))
+            # pdftohtml wraps styled runs in <b>/<i> child elements —
+            # the engine turns these into textAttributes ranges
+            if run.italic:
+                inner = f"<i>{inner}</i>"
+            if run.bold:
+                inner = f"<b>{inner}</b>"
             texts.append(
                 f'<text top="{top}" left="{left}" width="{width}" '
                 f'height="{size_px}" font="{spec_ids[run.font_key]}">'
-                f"{escape(_XML_INVALID.sub('', run.text))}</text>")
+                f"{inner}</text>")
         out.append(
             f'<page number="{num}" width="{page_w:g}" height="{page_h:g}">'
             + "".join(specs) + "".join(texts) + "</page>")

@@ -1,0 +1,163 @@
+"""PDF 1.5+ support (object streams, xref streams, filters) and
+color / bold-italic extraction in the native front-end.
+
+Reference parity targets: poppler handles all of this for the
+reference via ``pdftohtml -xml`` (`Parser.php:70`); revision colors
+come from ``<fontspec color>`` (`ParseText.php:691-989`) and
+bold/italic from ``<b>/<i>`` children (`ParseText.php:70-95`).
+"""
+
+from __future__ import annotations
+
+from ray_script_extract.sources.pdf_fixtures import build_pdf
+from ray_script_extract.sources.pdfnative import (
+    PdfDocument,
+    _lzw_decode,
+    _runlength_decode,
+    pdf_to_page_xml,
+)
+
+PAGES = [[(72, 108, "INT. LAB - NIGHT"),
+          (96, 108, "A humming machine fills the room with light."),
+          (120, 280, "DOCTOR"),
+          (132, 180, "It works. It finally works.")]]
+
+
+def test_objstm_twin_converts_identically():
+    """A PDF whose page tree / fonts / catalog exist ONLY inside a
+    compressed /ObjStm must extract exactly like its classic twin."""
+    classic = build_pdf(PAGES)
+    modern = build_pdf(PAGES, objstm=True)
+    # the modern file really hides its catalog from a plain byte scan
+    assert b"/Type /Catalog" not in modern.replace(b"", b"") or \
+        b"/Type /ObjStm" in modern
+    assert modern.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in modern
+    xml_classic = pdf_to_page_xml(classic)
+    xml_modern = pdf_to_page_xml(modern)
+    assert xml_classic == xml_modern
+    assert "INT. LAB - NIGHT" in xml_modern[0]
+
+
+def test_objstm_objects_enter_object_map():
+    modern = build_pdf(PAGES, objstm=True)
+    doc = PdfDocument(modern)
+    cat = doc.catalog()
+    assert cat is not None and cat.get("/Type") == "/Catalog"
+    assert len(doc.pages()) == 1
+
+
+def test_xref_stream_predictor_roundtrip():
+    """The /Type /XRef stream (Flate + PNG /Predictor 12) decodes to
+    well-formed [1 4 2] rows."""
+    modern = build_pdf(PAGES, objstm=True)
+    doc = PdfDocument(modern)
+    from ray_script_extract.sources.pdfnative import Stream
+
+    xref = next(obj for obj in doc.objects.values()
+                if isinstance(obj, Stream)
+                and obj.dict.get("/Type") == "/XRef")
+    rows = doc.stream_data(xref)
+    assert len(rows) % 7 == 0
+    assert rows[0] == 0  # entry 0 is the free-list head
+
+
+def test_lzw_decode_spec_example():
+    # the PDF spec's worked LZWDecode example
+    assert _lzw_decode(bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C,
+                              0x85, 0x01])) == b"-----A---B"
+
+
+def test_runlength_decode():
+    # 2 literal bytes "ab", then "c" repeated 4x (257-253), then EOD
+    assert _runlength_decode(b"\x01ab\xfdc\x80") == b"abcccc"
+
+
+def test_ascii_filters_roundtrip():
+    import zlib
+
+    payload = b"BT /F1 12 Tf (Hi) Tj ET"
+    hexed = payload.hex().encode() + b">"
+    raw = (b"1 0 obj\n<< /Length %d /Filter /ASCIIHexDecode >>\n"
+           b"stream\n" % len(hexed)) + hexed + b"\nendstream\nendobj\n"
+    doc = PdfDocument(raw)
+    from ray_script_extract.sources.pdfnative import Stream
+
+    st = doc.objects[1]
+    assert isinstance(st, Stream)
+    assert doc.stream_data(st) == payload
+
+    import base64
+
+    a85 = base64.a85encode(payload) + b"~>"
+    raw2 = (b"1 0 obj\n<< /Length %d /Filter /ASCII85Decode >>\n"
+            b"stream\n" % len(a85)) + a85 + b"\nendstream\nendobj\n"
+    st2 = PdfDocument(raw2).objects[1]
+    assert PdfDocument(raw2).stream_data(st2) == payload
+
+    # filter chain: Flate then ASCIIHex on top
+    comp = zlib.compress(payload)
+    hexcomp = comp.hex().encode() + b">"
+    raw3 = (b"1 0 obj\n<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode]"
+            b" >>\nstream\n" % len(hexcomp)) + hexcomp \
+        + b"\nendstream\nendobj\n"
+    st3 = PdfDocument(raw3).objects[1]
+    assert PdfDocument(raw3).stream_data(st3) == payload
+
+
+COLOR_PAGES = [[(72, 108, "INT. LAB - NIGHT"),
+                (96, 108, "Plain black action line with words."),
+                (120, 108, "A revised line in red ink here.",
+                 {"color": (1, 0, 0)}),
+                (144, 108, "Bold shouting line.", {"font": "F2"}),
+                (168, 108, "Leaning italic line.", {"font": "F3"})]]
+
+
+def test_color_reaches_fontspec():
+    xml = pdf_to_page_xml(build_pdf(COLOR_PAGES))[0]
+    assert 'color="#ff0000"' in xml
+    assert 'color="#000000"' in xml
+    # the red run points at the red fontspec
+    import re
+
+    red_id = re.search(r'<fontspec id="(\d+)"[^>]*color="#ff0000"', xml).group(1)
+    assert re.search(rf'<text[^>]*font="{red_id}">A revised line', xml)
+
+
+def test_bold_italic_wrap_and_family():
+    xml = pdf_to_page_xml(build_pdf(COLOR_PAGES))[0]
+    assert "<b>Bold shouting line.</b>" in xml
+    assert "<i>Leaning italic line.</i>" in xml
+    assert 'family="Courier"' in xml  # subset/style suffixes stripped
+
+
+def test_bold_becomes_text_attributes_in_engine():
+    from ray_script_extract.engine.pagexml import DocState, process_page_xml
+
+    state = DocState()
+    process_page_xml(pdf_to_page_xml(build_pdf(COLOR_PAGES))[0], state)
+    attrs = [lo.line_text_attributes for lo in state.line_objects
+             if lo.line_text_attributes]
+    assert any("b" in a for a in attrs)
+    assert any("i" in a for a in attrs)
+
+
+def test_revisions_fire_from_raw_colored_pdf():
+    """End-to-end: a colored-revision PDF drives parse_revisions from
+    RAW BYTES — matching what the XML-fixture path produces."""
+    from ray_script_extract.engine.pdfdoc import convert_pdf_xml_document
+
+    lines = [(30, 108, "Blue Revision Draft"),
+             (72, 108, "Normal action on this page with several words.")]
+    top = 72
+    for k in range(10):
+        top += 24
+        lines.append((top, 108,
+                      f"More filler action line {k} to defeat the title page."))
+    lines.append((top + 24, 108, "A changed line in the revision color.",
+                  {"color": (1, 0, 0)}))
+    second_page = [(72, 108, "INT. PLACE - DAY"),
+                   (96, 108, "Second page action keeps the doc honest.")]
+    pdf = build_pdf([lines, second_page])
+    doc = convert_pdf_xml_document(pdf_to_page_xml(pdf))
+    assert any(r["name"] == "Blue Revision Draft" for r in doc["revisions"])
