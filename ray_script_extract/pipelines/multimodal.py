@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) stages: opaque binary payloads with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The actual codec work is STUBBED (image/audio libraries are not in
-this container — `decode_image_real` raises NotImplementedError), but
-the Ray-side plumbing is real and tested: schema, batch sizing for
-large binary payloads, actor signature with per-actor "model" state,
-and deterministic fake features so downstream pipelines (similarity
-search over media embeddings, near-dup) can run end-to-end.
+Image decode is REAL: a pure-Python PNG/PPM codec
+(``functions.imagecodec`` — written from the public PNG/PNM specs, no
+imaging library needed) decodes payloads to (H, W, C) uint8, and the
+feature is a deterministic pixel-statistics vector.  Payloads in an
+unsupported format (or absent) fall back to the hash feature so the
+pipeline stays total.  Audio/video codecs remain out of scope for this
+container and take the fallback path.
 """
 
 from __future__ import annotations
@@ -31,12 +32,11 @@ FEATURE_DIM = 32
 
 
 def decode_image_real(payload: bytes) -> "np.ndarray":
-    """Real decode path — requires an image library not present in
-    this container.  The pipeline plumbing treats decode as a
-    per-element transform returning HxWxC uint8."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2 (not installed); "
-        "use fake_feature for deterministic testing")
+    """Decode image bytes to HxWxC uint8 — pure-Python PNG/PPM codec
+    (raises ValueError on other formats)."""
+    from ..functions.imagecodec import decode_image
+
+    return decode_image(payload)
 
 
 def fake_feature(ref: str, payload: bytes) -> np.ndarray:
@@ -63,9 +63,21 @@ class MediaFeatureActor:
         self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import decode_image, image_stats_feature
+
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        feats = np.vstack([fake_feature(r, p or b"") for r, p in
+
+        def feat(ref: str, payload: bytes) -> np.ndarray:
+            if payload:
+                try:
+                    return image_stats_feature(decode_image(payload),
+                                               FEATURE_DIM)
+                except ValueError:
+                    pass  # unsupported format → hash fallback
+            return fake_feature(ref, payload or b"")
+
+        feats = np.vstack([feat(r, p or b"") for r, p in
                            zip(refs, payloads)]) if refs else \
             np.zeros((0, FEATURE_DIM))
         projected = feats @ self.projection.T
@@ -93,13 +105,20 @@ def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
         out_ids: List[str] = []
         types: List[str] = []
         payloads: List[bytes] = []
+        from ..functions.imagecodec import encode_png
+
         for did, text in zip(doc_ids, texts):
             if did % 8 == 0:
-                digest = hashlib.sha256(text.encode()).hexdigest()
-                refs.append(f"img://sha256/{digest}")
+                digest = hashlib.sha256(text.encode())
+                refs.append(f"img://sha256/{digest.hexdigest()}")
                 out_ids.append(f"doc-{did:08d}")
                 types.append("image")
-                payloads.append(b"")  # payload fetch is out of scope here
+                # REAL deterministic PNG payload (8x8 RGB from the
+                # content hash) so the decode stage exercises the
+                # actual codec, not just plumbing
+                px = np.frombuffer((digest.digest() * 6)[:192],
+                                   dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_png(px))
         return pa.Table.from_arrays([
             pa.array(refs, pa.string()),
             pa.array(out_ids, pa.string()),

@@ -40,14 +40,19 @@ def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
             cur_color = color
         ty = page_h - top - SIZE_PX
         parts.append(f"1 0 0 1 {left} {ty} Tm")
-        parts.append(f"({_escape_pdf_string(text)}) Tj")
+        if opts.get("cid"):
+            hexcodes = "".join(f"{ord(ch):04X}" for ch in text)
+            parts.append(f"<{hexcodes}> Tj")
+        else:
+            parts.append(f"({_escape_pdf_string(text)}) Tj")
     parts.append("ET")
     return "\n".join(parts).encode("latin-1")
 
 
 def build_pdf(pages: List[Sequence[Tuple]],
               compress: bool = True, page_w: int = 612,
-              page_h: int = 792, objstm: bool = False) -> bytes:
+              page_h: int = 792, objstm: bool = False,
+              type0: bool = False) -> bytes:
     """Build a PDF with a 2-level page tree (pages split into two
     /Pages nodes when >1 page) and Courier / Courier-Bold /
     Courier-Oblique fonts.  ``objstm=True`` serializes it PDF-1.5
@@ -61,7 +66,21 @@ def build_pdf(pages: List[Sequence[Tuple]],
         objects.append(obj_body)
         return len(objects)  # 1-based object number
 
-    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    if type0:
+        # composite font: /Type0 + Identity-H + descendant CIDFont
+        # whose /W pins every used CID at Courier's 600 units, so the
+        # geometry matches the classic twin exactly (code == CID ==
+        # Unicode for the ASCII range)
+        cid_num = add(b"<< /Type /Font /Subtype /CIDFontType0 "
+                      b"/BaseFont /Courier "
+                      b"/CIDSystemInfo << /Registry (Adobe) "
+                      b"/Ordering (Identity) /Supplement 0 >> "
+                      b"/DW 600 /W [32 126 600] >>")
+        font_num = add((f"<< /Type /Font /Subtype /Type0 "
+                        f"/BaseFont /Courier /Encoding /Identity-H "
+                        f"/DescendantFonts [{cid_num} 0 R] >>").encode())
+    else:
+        font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
     font_bold = add(b"<< /Type /Font /Subtype /Type1 "
                     b"/BaseFont /Courier-Bold >>")
     font_obl = add(b"<< /Type /Font /Subtype /Type1 "

@@ -514,6 +514,21 @@ class _Font:
         widths = doc.resolve(font_dict.get("/Widths"))
         self.widths = [doc.resolve(w) for w in widths] if widths else None
         self.to_unicode = self._parse_tounicode(doc, font_dict)
+        # CID/composite fonts (/Subtype /Type0, Identity-H/V 2-byte
+        # codes): widths come from the descendant CIDFont's /W ranges
+        # with /DW default — code == CID under Identity encodings
+        self.cid = doc.resolve(font_dict.get("/Subtype")) == "/Type0"
+        self.default_width = 1000.0
+        self.cid_widths: Dict[int, float] = {}
+        desc_dict: Optional[Dict] = None
+        if self.cid:
+            desc = doc.resolve(font_dict.get("/DescendantFonts")) or []
+            df = doc.resolve(desc[0]) if desc else None
+            if isinstance(df, dict):
+                self.default_width = float(
+                    doc.resolve(df.get("/DW")) or 1000)
+                self._parse_w_array(doc, doc.resolve(df.get("/W")))
+                desc_dict = df
         # family + style flags, pdftohtml-style: subset prefix
         # (ABCDEF+) stripped, style read from the PostScript name and
         # OR'd with FontDescriptor flag bits (7 = italic, 19 = bold)
@@ -525,12 +540,37 @@ class _Font:
         self.bold = "Bold" in name
         self.italic = ("Italic" in name) or ("Oblique" in name)
         desc = doc.resolve(font_dict.get("/FontDescriptor"))
+        if desc is None and desc_dict is not None:
+            desc = doc.resolve(desc_dict.get("/FontDescriptor"))
         if isinstance(desc, dict):
             flags = doc.resolve(desc.get("/Flags"))
             if isinstance(flags, (int, float)):
                 flags = int(flags)
                 self.italic = self.italic or bool(flags & (1 << 6))
                 self.bold = self.bold or bool(flags & (1 << 18))
+
+    def _parse_w_array(self, doc: PdfDocument, w) -> None:
+        """CIDFont /W: ``[c [w...]]`` per-CID runs or ``[c1 c2 w]``
+        ranges, freely mixed."""
+        if not isinstance(w, list):
+            return
+        i = 0
+        while i < len(w):
+            first = doc.resolve(w[i])
+            if i + 1 >= len(w) or not isinstance(first, (int, float)):
+                break
+            nxt = doc.resolve(w[i + 1])
+            if isinstance(nxt, list):
+                for j, wv in enumerate(nxt):
+                    self.cid_widths[int(first) + j] = float(doc.resolve(wv))
+                i += 2
+            elif i + 2 < len(w):
+                wv = float(doc.resolve(w[i + 2]))
+                for cid in range(int(first), int(doc.resolve(nxt)) + 1):
+                    self.cid_widths[cid] = wv
+                i += 3
+            else:
+                break
 
     @staticmethod
     def _parse_tounicode(doc: PdfDocument, font_dict: Dict) -> Optional[Dict[int, str]]:
@@ -557,22 +597,35 @@ class _Font:
                     mapping[code] = chr(base + (code - lo_i))
         return mapping or None
 
+    def _codes(self, raw: bytes) -> List[int]:
+        if self.cid:  # Identity-H/V: big-endian 2-byte codes
+            return [(raw[i] << 8) | raw[i + 1]
+                    for i in range(0, len(raw) - 1, 2)]
+        return list(raw)
+
     def decode(self, raw: bytes) -> str:
+        codes = self._codes(raw)
         if self.to_unicode:
-            return "".join(self.to_unicode.get(b, chr(b)) for b in raw)
+            return "".join(self.to_unicode.get(c, chr(c)) for c in codes)
+        if self.cid:
+            return "".join(chr(c) for c in codes)
         return raw.decode("latin-1")
 
     def advance_units(self, raw: bytes) -> float:
+        codes = self._codes(raw)
+        if self.cid:
+            return sum(self.cid_widths.get(c, self.default_width)
+                       for c in codes)
         if self.widths is not None and self.first_char is not None:
             total = 0.0
-            for b in raw:
+            for b in codes:
                 idx = b - int(self.first_char)
                 if 0 <= idx < len(self.widths):
                     total += float(self.widths[idx])
                 else:
                     total += _COURIER_WIDTH
             return total
-        return _COURIER_WIDTH * len(raw)
+        return _COURIER_WIDTH * len(codes)
 
 
 class _TextRun:

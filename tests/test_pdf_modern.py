@@ -142,6 +142,32 @@ def test_bold_becomes_text_attributes_in_engine():
     assert any("i" in a for a in attrs)
 
 
+def test_type0_cid_font_twin_converts_identically():
+    """A /Type0 Identity-H composite font with a descendant /W table
+    pinned at Courier metrics extracts identically to the simple-font
+    twin (2-byte hex codes, CID widths)."""
+    cid_pages = [[(t, l, s, {"cid": True}) for (t, l, s) in PAGES[0]]]
+    classic_xml = pdf_to_page_xml(build_pdf(PAGES))
+    cid_xml = pdf_to_page_xml(build_pdf(cid_pages, type0=True))
+    assert classic_xml == cid_xml
+
+
+def test_cid_w_array_ranges_and_runs():
+    from ray_script_extract.sources.pdfnative import _Font
+
+    raw = (b"1 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X "
+           b"/Encoding /Identity-H /DescendantFonts [2 0 R] >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X "
+           b"/DW 500 /W [1 [600 700] 10 12 800] >>\nendobj\n")
+    doc = PdfDocument(raw)
+    f = _Font(doc, doc.objects[1])
+    assert f.cid
+    assert f.cid_widths == {1: 600.0, 2: 700.0, 10: 800.0, 11: 800.0,
+                            12: 800.0}
+    # codes 1 (600) + 5 (DW 500) + 10 (800)
+    assert f.advance_units(bytes([0, 1, 0, 5, 0, 10])) == 1900.0
+
+
 def test_revisions_fire_from_raw_colored_pdf():
     """End-to-end: a colored-revision PDF drives parse_revisions from
     RAW BYTES — matching what the XML-fixture path produces."""
