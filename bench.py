@@ -163,12 +163,14 @@ def run_scaling() -> None:
     for the N vs 4N cluster-size criterion.  The corpus is materialized
     to parquet ONCE (storage-shaped input, like the real pipeline) and
     sized so the 32-cpu run is compute-bound for 10s+."""
-    n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
+    n_docs = int(os.environ.get("SCALING_DOCS", "90000"))
+    per_shard = int(os.environ.get("SCALING_DOCS_PER_SHARD", "100"))
     # dir name encodes the shard size: write_corpus_parquet is
     # file-level idempotent, so mixing shard layouts in one dir would
     # otherwise leave stale extra shards that read as duplicate docs
-    corpus_dir = os.environ.get("SCALING_CORPUS_DIR",
-                                f"/tmp/ray_script_corpus_{n_docs}_s50")
+    corpus_dir = os.environ.get(
+        "SCALING_CORPUS_DIR",
+        f"/tmp/ray_script_corpus_{n_docs}_s{per_shard}")
     repo = os.path.dirname(os.path.abspath(__file__))
 
     import ray
@@ -178,16 +180,24 @@ def run_scaling() -> None:
                  logging_level="ERROR")
     from ray_script_extract.corpus import write_corpus_parquet
 
-    write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=50)
+    write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=per_shard)
     ray.shutdown()
 
-    # Interleave 8/32-cpu children across three time windows and take
+    # N vs 4N levels: default 4→16 so even the BIG run leaves headroom
+    # on this 32-core box — at 8→32 the 32-way run loses the all-core
+    # frequency/bandwidth that four REAL nodes each keep, polluting
+    # the ratio with a co-location artifact the criterion is not
+    # about.  SCALING_LEVELS=8,32 reproduces the saturated variant.
+    lo, hi = (int(x) for x in
+              os.environ.get("SCALING_LEVELS", "4,16").split(","))
+    assert hi == 4 * lo, "levels must be N and 4N"
+    # Interleave the two children across three time windows and take
     # the best per level: this box's aggregate throughput drifts ±50%
     # on minute scales (co-tenants), so same-window pairs + best-of
     # absorb the weather that poisoned sequential one-shot runs.
-    best = {8: None, 32: None}
+    best = {lo: None, hi: None}
     for _ in range(3):
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
                                          corpus_dir=corpus_dir)
             out = subprocess.run([sys.executable, "-c", code],
@@ -197,29 +207,31 @@ def run_scaling() -> None:
             r = json.loads(line)
             if best[cpus] is None or r["sec"] < best[cpus]["sec"]:
                 best[cpus] = r
-    results = [best[8], best[32]]
-    thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
-    speedup = thr32 / thr8
-    eff = speedup / (32 / 8)
+    results = [best[lo], best[hi]]
+    thr_lo, thr_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    speedup = thr_hi / thr_lo
+    eff = speedup / 4.0
 
     # Platform calibration: the same fixed amount of pure-Python work
-    # run on 8 vs 32 OS processes. One box running 4N co-located
+    # run on N vs 4N OS processes. One box running 4N co-located
     # workers loses all-core frequency/memory headroom that 4N real
     # NODES would each keep, so the calibrated ceiling is the honest
     # single-box stand-in denominator for the N→4N criterion.
-    burn = _platform_ceiling()
+    burn = _platform_ceiling(lo, hi)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "queries": {
-            "docs_per_sec_cpus8": round(thr8, 1),
-            "docs_per_sec_cpus32": round(thr32, 1),
-            "sec_cpus8": round(results[0]["sec"], 2),
-            "sec_cpus32": round(results[1]["sec"], 2),
-            "job_speedup_8_to_32": round(speedup, 2),
-            "platform_ceiling_8_to_32": round(burn, 2),
+            f"docs_per_sec_cpus{lo}": round(thr_lo, 1),
+            f"docs_per_sec_cpus{hi}": round(thr_hi, 1),
+            f"sec_cpus{lo}": round(results[0]["sec"], 2),
+            f"sec_cpus{hi}": round(results[1]["sec"], 2),
+            "job_speedup_n_to_4n": round(speedup, 2),
+            "platform_ceiling_n_to_4n": round(burn, 2),
             "efficiency_vs_platform_ceiling": round(speedup / burn, 3),
+            "cpus_n": lo,
+            "cpus_4n": hi,
         },
         "sf": SF_DIR,
         "num_cpus": 32,
@@ -233,8 +245,8 @@ def _burn(n):
     return x
 
 
-def _platform_ceiling() -> float:
-    """Measured max speedup 8→32 procs for fixed pure-Python work on
+def _platform_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """Measured max speedup N→4N procs for fixed pure-Python work on
     this box (frequency/bandwidth ceiling, independent of Ray)."""
     import multiprocessing as mp
     import time as _t
@@ -242,12 +254,12 @@ def _platform_ceiling() -> float:
     burn = _burn
     n = 20_000_000
     rates = {}
-    for workers in (8, 32):
+    for workers in (lo, hi):
         t0 = _t.time()
         with mp.Pool(workers) as p:
             p.map(burn, [n] * workers * 2)
         rates[workers] = workers * 2 * n / (_t.time() - t0)
-    return rates[32] / rates[8]
+    return rates[hi] / rates[lo]
 
 
 if __name__ == "__main__":
