@@ -202,3 +202,121 @@ def scene_stats(sf_dir: str):
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scene-analyzer plugin protocol (Analyzer.php:567-582)
+# ---------------------------------------------------------------------------
+#
+# The reference's `Analyzer::analyze_scenes` iterates registered
+# analyzer OBJECTS, calling `analyze(scene)` per scene and
+# `display_analysis()` at the end; its test harness registers
+# `DialogAverages` / `ActionVersusDialog` / `StructurePrinter` —
+# classes that are never defined anywhere (TestParser.php:82-96, dead
+# code).  Here the protocol is real: a registry of analyzer classes,
+# the per-doc scene walk (scenes begin at Scene spans,
+# Analyzer.php:528-543) feeding each plugin, and a corpus pipeline
+# that runs the walk inside map_batches and rolls the per-doc results
+# up relationally.
+
+ANALYZER_REGISTRY: Dict[str, type] = {}
+
+
+def register_analyzer(name: str):
+    """Class decorator: register a scene analyzer under ``name``.
+    An analyzer needs ``analyze(scene: List[Dict])`` (called once per
+    scene, spans of that scene) and ``display_analysis() -> Dict``
+    (flat numeric result)."""
+    def deco(cls):
+        ANALYZER_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+@register_analyzer("DialogAverages")
+class DialogAverages:
+    """Average dialogue words per speech per scene — the reference
+    registers this name but never ships the class."""
+
+    def __init__(self) -> None:
+        self.n_speeches = 0
+        self.n_words = 0
+
+    def analyze(self, scene: List[Dict]) -> None:
+        for span in scene:
+            if span["kind"] == "Character":
+                self.n_speeches += 1
+            elif span["kind"] == "Dialogue":
+                self.n_words += len(span["text"].split())
+
+    def display_analysis(self) -> Dict:
+        return {"n_speeches": self.n_speeches, "n_dialog_words": self.n_words}
+
+
+@register_analyzer("ActionVersusDialog")
+class ActionVersusDialog:
+    def __init__(self) -> None:
+        self.action = 0
+        self.dialog = 0
+
+    def analyze(self, scene: List[Dict]) -> None:
+        for span in scene:
+            if span["kind"] == "Action":
+                self.action += 1
+            elif span["kind"] == "Dialogue":
+                self.dialog += 1
+
+    def display_analysis(self) -> Dict:
+        return {"n_action": self.action, "n_dialogue": self.dialog}
+
+
+def split_scenes(spans: List[Dict]) -> List[List[Dict]]:
+    """Scene segmentation: a scene starts at each Scene span; leading
+    non-scene spans form scene 0 (Analyzer.php:528-543)."""
+    scenes: List[List[Dict]] = [[]]
+    for span in spans:
+        if span["kind"] == "Scene" and scenes[-1]:
+            scenes.append([])
+        scenes[-1].append(span)
+    return [s for s in scenes if s]
+
+
+def analyze_scenes(spans: List[Dict],
+                   analyzer_names: List[str]) -> Dict[str, Dict]:
+    """Run the named registered analyzers over one document's scenes —
+    the reference's `analyze_scenes` loop, per doc."""
+    instances = {n: ANALYZER_REGISTRY[n]() for n in analyzer_names}
+    for scene in split_scenes(spans):
+        for inst in instances.values():
+            inst.analyze(scene)
+    return {n: inst.display_analysis() for n, inst in instances.items()}
+
+
+def scene_analysis(sf_dir: str,
+                   analyzers: Tuple[str, ...] = ("DialogAverages",
+                                                 "ActionVersusDialog")):
+    """Corpus rollup of the plugin results: the per-doc plugin walk
+    runs inside map_batches; the corpus answer is one summed row per
+    analyzer metric (rows-only correctness: plugin protocol, not
+    SQL-expressible)."""
+    from .flagship import flagship_extract
+
+    ds = flagship_extract(sf_dir)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        keys: List[str] = []
+        vals: List[int] = []
+        for spans in batch.column("spans").to_pylist():
+            for name, result in analyze_scenes(spans or [],
+                                               list(analyzers)).items():
+                for metric, v in result.items():
+                    keys.append(f"{name}.{metric}")
+                    vals.append(int(v))
+        return pa.table({"metric": pa.array(keys, pa.string()),
+                         "value": pa.array(vals, pa.int64())})
+
+    return (ds.map_batches(per_doc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("metric")
+              .aggregate(Sum("value", alias_name="total"))
+              .sort("metric"))

@@ -63,22 +63,28 @@ class MediaFeatureActor:
         self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiocodec import audio_stats_feature, decode_wav
         from ..functions.imagecodec import decode_image, image_stats_feature
 
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
 
-        def feat(ref: str, payload: bytes) -> np.ndarray:
+        def feat(ref: str, payload: bytes, mtype: str) -> np.ndarray:
             if payload:
                 try:
+                    if mtype == "audio":
+                        samples, rate = decode_wav(payload)
+                        return audio_stats_feature(samples, rate,
+                                                   FEATURE_DIM)
                     return image_stats_feature(decode_image(payload),
                                                FEATURE_DIM)
                 except ValueError:
                     pass  # unsupported format → hash fallback
             return fake_feature(ref, payload or b"")
 
-        feats = np.vstack([feat(r, p or b"") for r, p in
-                           zip(refs, payloads)]) if refs else \
+        feats = np.vstack([feat(r, p or b"", t) for r, p, t in
+                           zip(refs, payloads, types)]) if refs else \
             np.zeros((0, FEATURE_DIM))
         projected = feats @ self.projection.T
         norms = np.linalg.norm(projected, axis=1, keepdims=True)
@@ -105,11 +111,12 @@ def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
         out_ids: List[str] = []
         types: List[str] = []
         payloads: List[bytes] = []
+        from ..functions.audiocodec import encode_wav
         from ..functions.imagecodec import encode_png
 
         for did, text in zip(doc_ids, texts):
+            digest = hashlib.sha256(text.encode())
             if did % 8 == 0:
-                digest = hashlib.sha256(text.encode())
                 refs.append(f"img://sha256/{digest.hexdigest()}")
                 out_ids.append(f"doc-{did:08d}")
                 types.append("image")
@@ -119,6 +126,14 @@ def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
                 px = np.frombuffer((digest.digest() * 6)[:192],
                                    dtype=np.uint8).reshape(8, 8, 3)
                 payloads.append(encode_png(px))
+            elif did % 8 == 4:
+                refs.append(f"wav://sha256/{digest.hexdigest()}")
+                out_ids.append(f"doc-{did:08d}")
+                types.append("audio")
+                # REAL deterministic 16-bit PCM payload (256 samples)
+                raw = np.frombuffer((digest.digest() * 16)[:512],
+                                    dtype="<i2")
+                payloads.append(encode_wav(raw, rate=8000))
         return pa.Table.from_arrays([
             pa.array(refs, pa.string()),
             pa.array(out_ids, pa.string()),

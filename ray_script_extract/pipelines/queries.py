@@ -1018,7 +1018,11 @@ from .dedup import (  # noqa: E402
     dedup_ngram_jaccard,
     dedup_simhash,
 )
-from .analytics import character_dialog_counts, scene_stats  # noqa: E402
+from .analytics import (  # noqa: E402
+    character_dialog_counts,
+    scene_analysis,
+    scene_stats,
+)
 from .multimodal import media_features  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
@@ -1058,6 +1062,7 @@ QUERIES: Dict[str, Callable] = {
     "media_features": media_features,
     "character_dialog_counts": character_dialog_counts,
     "scene_stats": scene_stats,
+    "scene_analysis": scene_analysis,
 }
 
 from .similarity import knn_cosine_ivf, near_dup_embeddings_lsh  # noqa: E402

@@ -88,3 +88,92 @@ def test_media_pipeline_decodes_real_payloads():
     out = media_features("/root/testdata/sf0.001").to_pandas()
     assert len(out) > 0
     assert (out["feature_dim"] == 32).all()
+
+
+def test_wav_roundtrip_mono_stereo():
+    from ray_script_extract.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32767, size=100, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(mono, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out, mono)
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    out2, _ = decode_wav(encode_wav(stereo, rate=16000))
+    assert np.array_equal(out2, stereo)
+
+
+def test_audio_feature_depends_on_waveform():
+    from ray_script_extract.functions.audiocodec import audio_stats_feature
+
+    quiet = np.zeros(256, np.int16)
+    loud = (np.sin(np.linspace(0, 60, 256)) * 20000).astype(np.int16)
+    fa = audio_stats_feature(quiet, 8000, 32)
+    fb = audio_stats_feature(loud, 8000, 32)
+    assert fa.shape == fb.shape == (32,)
+    assert not np.allclose(fa, fb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_table_contains_audio_rows():
+    from ray_script_extract.functions.audiocodec import decode_wav
+    from ray_script_extract.pipelines.multimodal import (
+        media_refs_from_documents,
+    )
+
+    media = media_refs_from_documents("/root/testdata/sf0.001").to_pandas()
+    audio = media[media["media_type"] == "audio"]
+    assert len(audio) > 0
+    samples, rate = decode_wav(audio.iloc[0]["payload"])
+    assert rate == 8000 and len(samples) == 256
+
+
+def test_scene_analyzer_registry():
+    from ray_script_extract.pipelines.analytics import (
+        ANALYZER_REGISTRY,
+        analyze_scenes,
+        register_analyzer,
+        split_scenes,
+    )
+
+    spans = [
+        {"kind": "Scene", "text": "INT. A - DAY"},
+        {"kind": "Action", "text": "Something happens."},
+        {"kind": "Character", "text": "BOB"},
+        {"kind": "Dialogue", "text": "Four words right here."},
+        {"kind": "Scene", "text": "INT. B - DAY"},
+        {"kind": "Dialogue", "text": "Two words."},
+    ]
+    assert len(split_scenes(spans)) == 2
+    out = analyze_scenes(spans, ["DialogAverages", "ActionVersusDialog"])
+    assert out["DialogAverages"] == {"n_speeches": 1, "n_dialog_words": 6}
+    assert out["ActionVersusDialog"] == {"n_action": 1, "n_dialogue": 2}
+
+    @register_analyzer("SceneCounter")
+    class SceneCounter:
+        def __init__(self):
+            self.n = 0
+
+        def analyze(self, scene):
+            self.n += 1
+
+        def display_analysis(self):
+            return {"n_scenes": self.n}
+
+    assert "SceneCounter" in ANALYZER_REGISTRY
+    assert analyze_scenes(spans, ["SceneCounter"]) == {
+        "SceneCounter": {"n_scenes": 2}}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scene_analysis_pipeline():
+    from ray_script_extract.pipelines.analytics import scene_analysis
+
+    out = scene_analysis("/root/testdata/sf0.001").to_pandas()
+    assert set(out["metric"]) == {
+        "ActionVersusDialog.n_action", "ActionVersusDialog.n_dialogue",
+        "DialogAverages.n_dialog_words", "DialogAverages.n_speeches"}
+    assert (out["total"] > 0).all()
