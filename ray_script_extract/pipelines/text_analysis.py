@@ -61,6 +61,42 @@ def predict_lang(text: str) -> str:
     return best[0]
 
 
+# --- vectorized batch scorer -------------------------------------------
+# The doc-side norm is a per-doc positive constant, so argmax over
+# languages only needs dot_l / prof_norm_l; and counting occurrences of
+# the (all-ASCII) profile trigrams at BYTE level equals char-level
+# counting exactly (a pure-ASCII trigram occupies exactly one byte
+# window).  So the hot path is: bytes → packed 24-bit trigram codes →
+# searchsorted against the profile vocab → bincount → one matvec.
+_LANGS = sorted(_PROFILES)
+_VOCAB = sorted({g for p in _PROFILES.values() for g in p})
+_VOCAB_CODES = np.array(
+    [(ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2]) for g in _VOCAB],
+    dtype=np.int64)
+_order = np.argsort(_VOCAB_CODES)
+_VOCAB_CODES = _VOCAB_CODES[_order]
+_PROFILE_MAT = np.array(
+    [[_PROFILES[lang].get(_VOCAB[j], 0) for j in _order]
+     for lang in _LANGS], dtype=np.float64)
+_PROF_NORM_ARR = np.array([_PROFILE_NORMS[lang] for lang in _LANGS])
+
+
+def predict_langs_batch(texts: List[str]) -> List[str]:
+    out: List[str] = []
+    nv = len(_VOCAB_CODES)
+    for t in texts:
+        b = np.frombuffer(f"  {t[:2000].lower()}  ".encode(), np.uint8)
+        codes = ((b[:-2].astype(np.int64) << 16)
+                 | (b[1:-1].astype(np.int64) << 8) | b[2:])
+        idx = np.searchsorted(_VOCAB_CODES, codes)
+        idx_c = np.minimum(idx, nv - 1)
+        valid = _VOCAB_CODES[idx_c] == codes
+        counts = np.bincount(idx_c[valid], minlength=nv)
+        scores = (_PROFILE_MAT @ counts) / _PROF_NORM_ARR
+        out.append(_LANGS[int(np.argmax(scores))])
+    return out
+
+
 def langid_ngram(sf_dir: str):
     """Per-document predicted language (rows-only correctness)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -71,7 +107,7 @@ def langid_ngram(sf_dir: str):
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "declared_lang": batch.column("lang"),
-            "pred_lang": pa.array([predict_lang(t) for t in texts], pa.string()),
+            "pred_lang": pa.array(predict_langs_batch(texts), pa.string()),
         })
 
     return ds.map_batches(run, batch_format="pyarrow",

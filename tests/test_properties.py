@@ -94,3 +94,21 @@ def test_tab_expansion_alignment():
         parser.parse_page([lo], False, "")
         joined = "".join(o.content for o in parser.objects)
         assert "\t" not in joined
+
+
+def test_langid_batch_matches_scalar():
+    """The vectorized byte-trigram scorer must agree with the scalar
+    reference implementation (doc-norm invariance + byte==char ASCII
+    trigram counting)."""
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.text_analysis import (
+        predict_lang,
+        predict_langs_batch,
+    )
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    texts += ["", "a", "??? !!!", "le chat est sur la table",
+              "der hund und die katze", "Ünïcödé text the of and to in"]
+    assert predict_langs_batch(texts) == [predict_lang(t) for t in texts]
