@@ -506,6 +506,47 @@ class PdfDocument:
 # Courier standard-14: all glyphs advance 600/1000
 _COURIER_WIDTH = 600
 
+# Compact Adobe-Glyph-List subset for /Encoding /Differences names:
+# ASCII letters map to themselves; names below cover digits,
+# punctuation and the common Latin-1 accents; 'uniXXXX' handled
+# programmatically.
+_GLYPH_NAMES: Dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "uacute": "ú",
+    "oacute": "ó", "iacute": "í", "aacute": "á",
+    "ntilde": "ñ", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "germandbls": "ß", "Eacute": "É",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™",
+}
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if len(name) == 1 and name.isascii():
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    return None
+
 
 class _Font:
     def __init__(self, doc: PdfDocument, font_dict: Dict) -> None:
@@ -514,6 +555,23 @@ class _Font:
         widths = doc.resolve(font_dict.get("/Widths"))
         self.widths = [doc.resolve(w) for w in widths] if widths else None
         self.to_unicode = self._parse_tounicode(doc, font_dict)
+        # simple-font /Encoding /Differences: code -> glyph name ->
+        # unicode (ToUnicode wins when both exist, per spec precedence)
+        self.diff_map: Dict[int, str] = {}
+        enc = doc.resolve(font_dict.get("/Encoding"))
+        if isinstance(enc, dict):
+            diffs = doc.resolve(enc.get("/Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        ch = _glyph_to_char(item.lstrip("/"))
+                        if ch is not None:
+                            self.diff_map[code] = ch
+                        code += 1
         # CID/composite fonts (/Subtype /Type0, Identity-H/V 2-byte
         # codes): widths come from the descendant CIDFont's /W ranges
         # with /DW default — code == CID under Identity encodings
@@ -609,6 +667,8 @@ class _Font:
             return "".join(self.to_unicode.get(c, chr(c)) for c in codes)
         if self.cid:
             return "".join(chr(c) for c in codes)
+        if self.diff_map:
+            return "".join(self.diff_map.get(c, chr(c)) for c in codes)
         return raw.decode("latin-1")
 
     def advance_units(self, raw: bytes) -> float:
@@ -654,8 +714,15 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
     page_w = media[2] - media[0]
     page_h = media[3] - media[1]
     resources = doc.resolve(page.get("/Resources")) or {}
-    font_res = doc.resolve(resources.get("/Font")) or {}
-    fonts = {name: _Font(doc, doc.resolve(fd)) for name, fd in font_res.items()}
+
+    def load_resources(res: Dict) -> Tuple[Dict, Dict]:
+        font_res = doc.resolve(res.get("/Font")) or {}
+        fonts = {name: _Font(doc, doc.resolve(fd))
+                 for name, fd in font_res.items()}
+        xobjects = doc.resolve(res.get("/XObject")) or {}
+        return fonts, xobjects
+
+    page_fonts, page_xobjects = load_resources(resources)
 
     contents = doc.resolve(page.get("/Contents"))
     chunks: List[bytes] = []
@@ -666,8 +733,6 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
     content = b"\n".join(chunks)
 
     runs: List[_TextRun] = []
-    lex = _Lexer(content)
-    stack: List = []
     font: Optional[_Font] = None
     font_key = ""
     size = 12.0
@@ -720,13 +785,59 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
                              font.bold, font.italic))
         tx += text_adv
 
-    while True:
-        obj = lex.parse_object()
-        if obj is None and lex.pos >= len(lex.data):
-            break
-        if isinstance(obj, Keyword):
+    def exec_content(data: bytes, fonts: Dict, xobjects: Dict,
+                     depth: int) -> None:
+        """Interpret one content stream; recurses into Form XObjects
+        (``Do``) with the graphics state saved/restored per spec, and
+        skips inline images (``BI … EI`` carry raw binary that would
+        derail the tokenizer)."""
+        nonlocal font, font_key, size, leading, tx, ty, line_x, line_y
+        nonlocal scale_x, scale_y, ctm, fill_color
+        lex = _Lexer(data)
+        stack: List = []
+        while True:
+            obj = lex.parse_object()
+            if obj is None and lex.pos >= len(lex.data):
+                break
+            if not isinstance(obj, Keyword):
+                stack.append(obj)
+                continue
             op = obj.name
-            if op == b"cm" and len(stack) >= 6:
+            if op == b"BI":
+                # inline image: raw sample bytes follow ID … EI
+                m = re.search(rb"\bEI\b", lex.data[lex.pos:])
+                lex.pos = (lex.pos + m.end()) if m else len(lex.data)
+            elif op == b"Do" and stack:
+                name = stack[-1]
+                xo = doc.resolve(xobjects.get(name)) \
+                    if isinstance(name, str) else None
+                if (depth < 8 and isinstance(xo, Stream)
+                        and doc.resolve(xo.dict.get("/Subtype")) == "/Form"):
+                    saved = (font, font_key, size, leading, tx, ty,
+                             line_x, line_y, scale_x, scale_y,
+                             list(ctm), fill_color)
+                    matrix = doc.resolve(xo.dict.get("/Matrix"))
+                    if isinstance(matrix, list) and len(matrix) == 6:
+                        a, _b, _c, d, e, f = (float(doc.resolve(v))
+                                              for v in matrix)
+                        ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
+                               ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
+                    xres = doc.resolve(xo.dict.get("/Resources"))
+                    if isinstance(xres, dict):
+                        xfonts, xxobj = load_resources(xres)
+                        xfonts = {**fonts, **xfonts}
+                        xxobj = {**xobjects, **xxobj}
+                    else:
+                        xfonts, xxobj = fonts, xobjects
+                    try:
+                        body = doc.stream_data(xo)
+                    except Exception:
+                        body = b""
+                    exec_content(body, xfonts, xxobj, depth + 1)
+                    (font, font_key, size, leading, tx, ty, line_x,
+                     line_y, scale_x, scale_y, ctm,
+                     fill_color) = saved
+            elif op == b"cm" and len(stack) >= 6:
                 a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
                 # compose scale+translate (skew components ignored)
                 ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
@@ -794,8 +905,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
                 if comps:
                     fill_color = _components_to_hex(comps)
             stack.clear()
-        else:
-            stack.append(obj)
+
+    exec_content(content, page_fonts, page_xobjects, 0)
     return runs, page_w, page_h
 
 

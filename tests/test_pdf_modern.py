@@ -187,3 +187,70 @@ def test_revisions_fire_from_raw_colored_pdf():
     pdf = build_pdf([lines, second_page])
     doc = convert_pdf_xml_document(pdf_to_page_xml(pdf))
     assert any(r["name"] == "Blue Revision Draft" for r in doc["revisions"])
+
+
+def _onepage_pdf(content: bytes, extra_objs: bytes = b"",
+                 resources: bytes = b"<< /Font << /F1 5 0 R >> >>") -> bytes:
+    """Hand-rolled single-page PDF (scan-discovered, no xref needed)."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] /Resources " + resources + b" >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\n"
+        b"endobj\n" + extra_objs + b"%%EOF\n")
+
+
+def test_form_xobject_text_is_extracted():
+    body = b"BT /F1 12 Tf 1 0 0 1 108 700 Tm (Inside the form) Tj ET"
+    extra = (b"6 0 obj\n<< /Subtype /Form /Length "
+             + str(len(body)).encode()
+             + b" /Resources << /Font << /F1 5 0 R >> >> >>\n"
+             b"stream\n" + body + b"\nendstream\nendobj\n")
+    content = (b"BT /F1 12 Tf 1 0 0 1 108 720 Tm (Outside) Tj ET\n"
+               b"/X1 Do\n"
+               b"BT /F1 12 Tf 1 0 0 1 108 680 Tm (After) Tj ET")
+    res = (b"<< /Font << /F1 5 0 R >> "
+           b"/XObject << /X1 6 0 R >> >>")
+    xml = pdf_to_page_xml(_onepage_pdf(content, extra, res))[0]
+    assert "Outside" in xml and "After" in xml
+    assert "Inside the form" in xml
+
+
+def test_form_xobject_matrix_offsets_position():
+    body = b"BT /F1 12 Tf 1 0 0 1 0 0 Tm (Moved) Tj ET"
+    extra = (b"6 0 obj\n<< /Subtype /Form /Matrix [1 0 0 1 200 600] /Length "
+             + str(len(body)).encode()
+             + b" /Resources << /Font << /F1 5 0 R >> >> >>\n"
+             b"stream\n" + body + b"\nendstream\nendobj\n")
+    res = b"<< /Font << /F1 5 0 R >> /XObject << /X1 6 0 R >> >>"
+    xml = pdf_to_page_xml(_onepage_pdf(b"/X1 Do", extra, res))[0]
+    import re
+
+    m = re.search(r'<text top="(\d+)" left="(\d+)"[^>]*>Moved</text>', xml)
+    assert m, xml
+    assert int(m.group(2)) == 200
+    assert int(m.group(1)) == 792 - 600 - 16  # H - ty - size_px
+
+
+def test_inline_image_does_not_derail_tokenizer():
+    content = (b"BT /F1 12 Tf 1 0 0 1 108 700 Tm (Before image) Tj ET\n"
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 ID \x00\x01\xfe(\xff)\x9c EI\n"
+               b"BT /F1 12 Tf 1 0 0 1 108 650 Tm (After image) Tj ET")
+    xml = pdf_to_page_xml(_onepage_pdf(content))[0]
+    assert "Before image" in xml and "After image" in xml
+
+
+def test_encoding_differences_decode():
+    extra = (b"6 0 obj\n<< /Type /Encoding "
+             b"/Differences [65 /e /x /uni0021 97 /quoteright] >>\nendobj\n"
+             b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+             b"/Encoding 6 0 R >>\nendobj\n")
+    res = b"<< /Font << /F1 7 0 R >> >>"
+    # codes 65,66,67 -> e,x,! ; 97 -> right quote ; 100 stays 'd'
+    content = b"BT /F1 12 Tf 1 0 0 1 108 700 Tm (ABCad) Tj ET"
+    xml = pdf_to_page_xml(_onepage_pdf(content, extra, res))[0]
+    assert ">ex!\xe2\x80\x99d<".encode().decode() in xml or "ex!’d" in xml
