@@ -154,17 +154,28 @@ def _join_back(pairs: "ray.data.Dataset", side_table: "ray.data.Dataset",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_SHINGLE_HASH_CACHE: Dict[str, int] = {}
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-shingles → 31-bit hashes (md5-low-64 mod 2^31-1,
-    reproducible in DuckDB as md5_number_lower(s) % 2147483647)."""
+    reproducible in DuckDB as md5_number_lower(s) % 2147483647).
+    Hashes are memoized per worker — near-dup corpora repeat shingles
+    heavily, so the md5 cost amortizes across documents."""
     words = text.lower().split()
     if len(words) < k:
         shingles = [" ".join(words)] if words else []
     else:
         shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    cache = _SHINGLE_HASH_CACHE
     out = np.empty(len(shingles), dtype=np.int64)
     for i, s in enumerate(shingles):
-        out[i] = _md5_low64(s.encode()) % _P31
+        h = cache.get(s)
+        if h is None:
+            h = _md5_low64(s.encode()) % _P31
+            if len(cache) < 2_000_000:
+                cache[s] = h
+        out[i] = h
     return out
 
 
