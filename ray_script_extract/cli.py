@@ -23,6 +23,10 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_extract = sub.add_parser("extract", help="resumable corpus extraction")
+    p_extract.add_argument("--input", default=None,
+                           help="corpus directory of parquet shards "
+                                "(doc_id, spans); omitted = synthetic "
+                                "corpus of --num-docs")
     p_extract.add_argument("--num-docs", type=int, default=1000)
     p_extract.add_argument("--output", required=True)
     p_extract.add_argument("--seed", type=int, default=42)
@@ -50,11 +54,17 @@ def main(argv=None) -> int:
                  logging_level="ERROR")
     try:
         if args.cmd == "extract":
-            from .stages.lineage import run_resumable_extract
+            from .stages.lineage import (
+                run_resumable_extract,
+                run_resumable_extract_dir,
+            )
 
-            summary = run_resumable_extract(
-                args.num_docs, args.output, seed=args.seed,
-                docs_per_shard=args.docs_per_shard)
+            if args.input:
+                summary = run_resumable_extract_dir(args.input, args.output)
+            else:
+                summary = run_resumable_extract(
+                    args.num_docs, args.output, seed=args.seed,
+                    docs_per_shard=args.docs_per_shard)
             print(json.dumps(summary))
         elif args.cmd == "query":
             from .pipelines.queries import QUERIES

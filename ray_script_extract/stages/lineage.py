@@ -105,6 +105,49 @@ def write_partition(output_dir: str, key: str, table: pa.Table,
     return record
 
 
+def run_resumable_extract_dir(input_dir: str, output_dir: str) -> Dict:
+    """Resumable extraction over a REAL corpus directory (one parquet
+    shard file = one output partition = one lineage record).  The
+    fragment descriptor is the input file path, so a resume after a
+    crash skips exactly the shards whose output re-verifies — the
+    production shape of the `ray job submit` entrypoint for user data
+    (the synthetic variant below keeps the descriptor-only shape the
+    tests soak)."""
+    import glob
+
+    import ray
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    done = completed_partitions(output_dir)
+    todo = [f for f in files if fragment_key(f"file:{f}") not in done]
+    skipped = len(files) - len(todo)
+
+    @ray.remote(num_cpus=1)
+    def process_file(path: str) -> Dict:
+        from ..stages.extract import extract_batch
+
+        t0 = time.time()
+        table = pq.read_table(path)
+        out = extract_batch(table)
+        extract_sec = time.time() - t0
+        t1 = time.time()
+        return write_partition(
+            output_dir, fragment_key(f"file:{path}"), out, f"file:{path}",
+            metrics={"rows": out.num_rows,
+                     "extract_sec": round(extract_sec, 4),
+                     "write_sec": round(time.time() - t1, 4)})
+
+    t0 = time.time()
+    new_records = ray.get([process_file.remote(f) for f in todo])
+    return {
+        "partitions_total": len(files),
+        "partitions_skipped": skipped,
+        "partitions_written": len(new_records),
+        "rows_written": sum(r["row_count"] for r in new_records),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+
+
 def run_resumable_extract(num_docs: int, output_dir: str, *, seed: int = 42,
                           docs_per_shard: int = 100,
                           concurrency: Optional[int] = None) -> Dict:

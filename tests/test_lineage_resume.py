@@ -98,3 +98,33 @@ def test_corpus_dir_stale_surplus_shards_removed(tmp_path):
     assert names == ["shard-00000.parquet", "shard-00001.parquet"]
     total = sum(_pq.read_table(os.path.join(d, n)).num_rows for n in names)
     assert total == 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resumable_extract_dir_real_corpus(tmp_path):
+    """The --input (real corpus directory) variant: one input shard =
+    one verified output partition; resume skips finished shards."""
+    from ray_script_extract.corpus import write_corpus_parquet
+    from ray_script_extract.stages.lineage import (
+        completed_partitions,
+        run_resumable_extract_dir,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus_parquet(60, corpus, docs_per_shard=20)  # 3 shards
+    out = str(tmp_path / "out")
+
+    s1 = run_resumable_extract_dir(corpus, out)
+    assert s1["partitions_written"] == 3
+    assert s1["rows_written"] == 60
+    assert len(completed_partitions(out)) == 3
+
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    shutil.rmtree(os.path.join(out, parts[0]))
+    s2 = run_resumable_extract_dir(corpus, out)
+    assert s2["partitions_written"] == 1
+    assert s2["partitions_skipped"] == 2
+    total = sum(
+        pq.read_table(os.path.join(out, p, "data.parquet")).num_rows
+        for p in sorted(os.listdir(out)) if p.startswith("part-"))
+    assert total == 60
