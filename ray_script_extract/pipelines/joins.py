@@ -176,6 +176,8 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
             return pa.nulls(n, typ).fill_null(0)
         if pa.types.is_string(typ):
             return pa.nulls(n, typ).fill_null("")
+        if pa.types.is_binary(typ):
+            return pa.nulls(n, typ).fill_null(b"")
         if pa.types.is_list(typ):
             offsets = pa.array(np.zeros(n + 1, np.int32))
             return pa.ListArray.from_arrays(offsets,

@@ -200,29 +200,32 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4):
     pairs = _bucket_pairs(emb.map_batches(bands, batch_format="pyarrow",
                                           zero_copy_batch=True))
 
-    def widen(prefix: str):
-        # NORMALIZED embedding as 64 scalar float32 columns: the
-        # verify joins then move pure columnar data — no per-row list
-        # objects anywhere, and the dot product is one vectorized
-        # row-wise multiply of two column blocks
+    def packed(prefix: str):
+        # NORMALIZED embedding packed into ONE fixed-width binary
+        # column (dim float32 little-endian): a single buffer through
+        # every shuffle/merge — no per-row list objects, no
+        # 130-column blocks through Ray's sort
         def fn(batch: pa.Table) -> pa.Table:
             m = np.vstack(batch.column("embedding")
                           .to_numpy(zero_copy_only=False)).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            cols = {"__k": batch.column("vec_id")}
-            for j in range(m.shape[1]):
-                cols[f"{prefix}{j}"] = pa.array(m[:, j], pa.float32())
-            return pa.table(cols)
+            m32 = np.ascontiguousarray(m, dtype="<f4")
+            return pa.table({
+                "__k": batch.column("vec_id"),
+                f"{prefix}bin": pa.array(
+                    [m32[i].tobytes() for i in range(len(m32))],
+                    pa.binary()),
+            })
         return fn
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64)})
-        acols = [c for c in df.columns if c.startswith("a__")]
-        bcols = [c for c in df.columns if c.startswith("b__")]
-        a = df[acols].to_numpy(dtype=np.float64)
-        b = df[bcols].to_numpy(dtype=np.float64)
+        a = np.frombuffer(b"".join(df["a_bin"]), dtype="<f4") \
+            .reshape(len(df), dim).astype(np.float64)
+        b = np.frombuffer(b"".join(df["b_bin"]), dtype="<f4") \
+            .reshape(len(df), dim).astype(np.float64)
         cos = np.round((a * b).sum(axis=1), 4)
         keep = cos >= threshold
         return pd.DataFrame({
@@ -230,26 +233,24 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4):
             "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
         })
 
-    def wide_schema(prefix: str) -> "pa.Schema":
-        return pa.schema([("__k", pa.int64())]
-                         + [(f"{prefix}{j}", pa.float32())
-                            for j in range(dim)])
+    def side_schema(prefix: str) -> "pa.Schema":
+        return pa.schema([("__k", pa.int64()),
+                          (f"{prefix}bin", pa.binary())])
 
     # explicit schemas: .schema() on these lazy pipelines would
     # re-execute them as probes (see hash_join_via_groupby docstring)
     wa_schema = pa.schema(list(PAIRS_SCHEMA)
-                          + [pa.field(f"a__{j}", pa.float32())
-                             for j in range(dim)])
-    wide_a = emb.map_batches(widen("a__"), batch_format="pyarrow",
+                          + [pa.field("a_bin", pa.binary())])
+    side_a = emb.map_batches(packed("a_"), batch_format="pyarrow",
                              zero_copy_batch=True)
-    wide_b = emb.map_batches(widen("b__"), batch_format="pyarrow",
+    side_b = emb.map_batches(packed("b_"), batch_format="pyarrow",
                              zero_copy_batch=True)
-    with_a = hash_join_via_groupby(pairs, wide_a, "id_a", "__k",
+    with_a = hash_join_via_groupby(pairs, side_a, "id_a", "__k",
                                    dedupe_left=True,
                                    left_schema=PAIRS_SCHEMA,
-                                   right_schema=wide_schema("a__"))
-    return hash_join_via_groupby(with_a, wide_b, "id_b", "__k",
+                                   right_schema=side_schema("a_"))
+    return hash_join_via_groupby(with_a, side_b, "id_b", "__k",
                                  post=verify,
                                  left_schema=wa_schema,
-                                 right_schema=wide_schema("b__")) \
+                                 right_schema=side_schema("b_")) \
         .sort(["id_a", "id_b"])
