@@ -482,10 +482,12 @@ class PdfDocument:
             return []
         root = self.resolve(cat.get("/Pages"))
         out: List[Dict] = []
+        seen: set = set()  # cycle guard: malformed /Kids can loop
 
         def walk(node: Dict, inherited: Dict) -> None:
-            if not isinstance(node, dict):
+            if not isinstance(node, dict) or id(node) in seen:
                 return
+            seen.add(id(node))
             inh = dict(inherited)
             for key in ("/MediaBox", "/Resources", "/Rotate"):
                 if key in node:
