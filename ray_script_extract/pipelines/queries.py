@@ -1026,7 +1026,9 @@ from .analytics import (  # noqa: E402
 from .multimodal import media_features  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
+    WINNOW_SQL,
     doc_quality,
+    doc_winnow_fingerprints,
     langid_ngram,
 )
 
@@ -1058,6 +1060,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "doc_quality": doc_quality,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "langid_ngram": langid_ngram,
     "media_features": media_features,
     "character_dialog_counts": character_dialog_counts,
@@ -1098,6 +1101,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "doc_quality": DOC_QUALITY_SQL,
+    "doc_winnow_fingerprints": WINNOW_SQL,
     # langid_ngram, media_features: non-SQL-expressible (profile
     # classifier, model scoring) → rows-only checks
 }

@@ -178,3 +178,104 @@ SELECT doc_id, n_tokens, n_stopwords, n_long_tokens,
             ELSE 'ok' END AS quality_bucket
 FROM m ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8          # k-gram length
+_WINNOW_W = 4          # winnow window (guarantee: every match >= k+w-1
+                       # chars shares a fingerprint)
+_WINNOW_B = 257        # polynomial base
+_WINNOW_P = (1 << 31) - 1  # Horner stays under 2^39 — int64 on both engines
+
+
+def _winnow_doc(text: str) -> "np.ndarray":
+    """Rolling-hash winnowing (Schleimer, Wilkerson, Aiken — "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD'03): k-gram
+    polynomial hashes, then the RIGHTMOST minimal hash of each
+    w-window, deduped.  Returns (n, 2) int64 [pos(1-based), hash]."""
+    t = text.lower()
+    n = len(t) - _WINNOW_K + 1
+    if n < _WINNOW_W:
+        return np.zeros((0, 2), dtype=np.int64)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(_WINNOW_K):
+        h = (h * _WINNOW_B + codes[j:j + n]) % _WINNOW_P
+    win = np.lib.stride_tricks.sliding_window_view(h, _WINNOW_W)
+    # rightmost min: argmin over the reversed window
+    right_arg = (_WINNOW_W - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + right_arg
+    sel = np.unique(pos)
+    return np.column_stack([sel + 1, h[sel]])  # 1-based like the oracle
+
+
+def doc_winnow_fingerprints(sf_dir: str):
+    """Per-document winnowing fingerprints: (doc_id, pos, fp) rows —
+    the rolling-hash fingerprint operator for local (substring-level)
+    duplicate detection, complementary to whole-doc md5
+    (`doc_fingerprint`) and set-level minhash.  Exact DuckDB oracle:
+    the polynomial Horner hash and the rightmost-min winnow are
+    replicated in SQL (WINNOW_SQL)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_doc, out_pos, out_fp = [], [], []
+        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
+            fps = _winnow_doc(text)
+            out_doc.append(np.full(len(fps), did, np.int64))
+            out_pos.append(fps[:, 0])
+            out_fp.append(fps[:, 1])
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc) if out_doc
+                               else np.array([], np.int64), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos) if out_pos
+                            else np.array([], np.int64), pa.int64()),
+            "fp": pa.array(np.concatenate(out_fp) if out_fp
+                           else np.array([], np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["doc_id", "pos"])
+
+
+def _winnow_horner_sql() -> str:
+    expr = "CAST(0 AS BIGINT)"  # keep the whole Horner chain in BIGINT
+    for j in range(_WINNOW_K):
+        expr = (f"(({expr}) * {_WINNOW_B} + "
+                f"unicode(substring(lt, CAST(i + {j} AS INT), 1))) "
+                f"% {_WINNOW_P}")
+    return expr
+
+
+WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i, {_winnow_horner_sql()} AS h
+  FROM (SELECT doc_id, lower(text) AS lt,
+               unnest(range(1, greatest(length(text) - {_WINNOW_K} + 2, 1))) AS i
+        FROM documents)
+),
+w AS (
+  SELECT doc_id, i, h,
+         MIN(h) OVER win AS mn,
+         COUNT(*) OVER win AS cnt
+  FROM g
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+),
+sel AS (
+  SELECT w.doc_id, MAX(g2.i) AS pos, w.mn AS fp
+  FROM w
+  JOIN g g2 ON g2.doc_id = w.doc_id
+           AND g2.i BETWEEN w.i - {_WINNOW_W - 1} AND w.i
+           AND g2.h = w.mn
+  WHERE w.cnt = {_WINNOW_W}
+  GROUP BY w.doc_id, w.i, w.mn
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+"""

@@ -112,3 +112,27 @@ def test_langid_batch_matches_scalar():
     texts += ["", "a", "??? !!!", "le chat est sur la table",
               "der hund und die katze", "Ünïcödé text the of and to in"]
     assert predict_langs_batch(texts) == [predict_lang(t) for t in texts]
+
+
+def test_winnow_shared_substring_guarantee():
+    """Winnowing guarantee (SIGMOD'03): two docs sharing a substring of
+    length >= k + w - 1 share at least one fingerprint hash."""
+    from ray_script_extract.pipelines.text_analysis import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnow_doc,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= _WINNOW_K + _WINNOW_W - 1
+    a = _winnow_doc("AAAA " + shared + " BBBB")
+    b = _winnow_doc("completely different prefix " + shared)
+    fps_a = set(a[:, 1].tolist())
+    fps_b = set(b[:, 1].tolist())
+    assert fps_a & fps_b
+
+    # and short docs yield no fingerprints, consistently with the SQL
+    import numpy as np
+
+    assert _winnow_doc("tiny").shape == (0, 2)
+    assert np.array_equal(_winnow_doc("abc" * 3), _winnow_doc("abc" * 3))
