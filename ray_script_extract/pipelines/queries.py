@@ -801,9 +801,17 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """
 
 
+# BPE-style pretokenizer (GPT-2-shaped, lookahead-free so plain RE2
+# evaluates it identically in Arrow and DuckDB): word / number /
+# punctuation-run units with an optional leading space
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
 def doc_token_stats(sf_dir: str):
     """Per-language token/char totals, fully vectorized (RE2 kernels
-    in Arrow match DuckDB's RE2 semantics exactly)."""
+    in Arrow match DuckDB's RE2 semantics exactly): whitespace tokens
+    AND BPE-ish pretokenizer units (the training-data token-count
+    shape)."""
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -811,6 +819,8 @@ def doc_token_stats(sf_dir: str):
         return pa.table({
             "lang": batch.column("lang"),
             "tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_RE),
+                                  pa.int64()),
             "chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
 
@@ -818,14 +828,16 @@ def doc_token_stats(sf_dir: str):
              .groupby("lang")
              .aggregate(Count(alias_name="n_docs"),
                         Sum("tokens", alias_name="total_tokens"),
+                        Sum("bpe_tokens", alias_name="total_bpe_tokens"),
                         Sum("chars", alias_name="total_chars"))
              .sort("lang"))
     return out
 
 
-DOC_TOKEN_STATS_SQL = """
+DOC_TOKEN_STATS_SQL = f"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
