@@ -47,7 +47,6 @@ _N_PERMS = 64
 _N_BANDS = 16  # 4 perms per band
 
 _BUCKET_CAP = 512  # LSH hot-bucket cap (see partition_pairs docnotes)
-_N_PARTITIONS = 32
 
 PAIRS_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
@@ -67,9 +66,38 @@ def _md5_low64(data: bytes) -> int:
 
 def _add_part(df: "pd.DataFrame") -> "pd.DataFrame":
     df = df.copy()
-    df["__part"] = (pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
-                    % _N_PARTITIONS).astype(np.int64)
+    key = df["band_key"]
+    if key.dtype.kind in "iu":  # int keys (emb-LSH) hash zero-copy
+        h = key.to_numpy().astype(np.uint64, copy=False) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    else:
+        h = pd.util.hash_array(key.to_numpy(dtype=object))
+    from .joins import default_partitions
+
+    df["__part"] = (h % np.uint64(default_partitions())).astype(np.int64)
     return df
+
+
+def _runs_pairs(ids: np.ndarray, sizes: np.ndarray):
+    """All unordered in-run pairs, vectorized per distinct run size:
+    ``ids`` is the concatenation of each run's members (ascending
+    within a run), ``sizes`` the run lengths.  For each distinct size
+    s the (s·(s-1)/2) triu offsets are generated once and broadcast
+    over every run of that size — no Python loop over buckets."""
+    starts = np.cumsum(sizes) - sizes
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        runs = starts[sizes == s]
+        ia, ib = np.triu_indices(int(s), k=1)
+        out_a.append(ids[(runs[:, None] + ia[None, :]).ravel()])
+        out_b.append(ids[(runs[:, None] + ib[None, :]).ravel()])
+    if not out_a:
+        e = np.array([], np.int64)
+        return e, e
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def _read_docs(sf_dir: str):
@@ -92,20 +120,18 @@ def _bucket_pairs(band_rows: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["band_key", "doc_id"])
-        cnt = df["band_key"].value_counts()
-        keep_keys = cnt[(cnt >= 2) & (cnt <= _BUCKET_CAP)].index
-        df = df[df["band_key"].isin(keep_keys)]
-        out_a, out_b = [], []
-        for _, grp in df.groupby("band_key", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy())
-            a_idx, b_idx = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a_idx])
-            out_b.append(ids[b_idx])
-        if not out_a:
+        df = df.sort_values(["band_key", "doc_id"], kind="stable")
+        keys = df["band_key"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+        if len(ids) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        run_id = np.cumsum(change) - 1
+        sizes = np.bincount(run_id)
+        keep = (sizes >= 2) & (sizes <= _BUCKET_CAP)
+        a, b = _runs_pairs(ids[keep[run_id]], sizes[keep])
+        return pd.DataFrame({"id_a": a, "id_b": b})
 
     def as_arrow(df: pd.DataFrame) -> pa.Table:
         # explicit-schema Arrow even for EMPTY partitions: a single
@@ -586,6 +612,10 @@ def dedup_ngram_jaccard(sf_dir: str, threshold_pct: int = 60,
                 .sum(axis=2).astype(np.int64)
             union = sa[lo:hi, None] + sb[None, :] - inter
             keep = 10 * inter >= thr * union
+            # docs under 3 chars have EMPTY trigram sets: 0/0 would
+            # pass the cross-multiplied test, but the SQL oracle (and
+            # sane semantics) excludes trigram-less docs entirely
+            keep &= union > 0
             if same:
                 keep &= ids_a[lo:hi, None] < ids_b[None, :]
             else:

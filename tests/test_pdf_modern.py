@@ -68,6 +68,87 @@ def test_lzw_decode_spec_example():
                               0x85, 0x01])) == b"-----A---B"
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Spec-compliant PDF LZW encoder (EarlyChange=1 convention used
+    by pdfminer/pdf.js): the code width bumps one code EARLY, i.e. the
+    encoder widens when ``next_code + early_change - 1`` no longer
+    fits the current width.  Mirror of ``_lzw_decode``."""
+    bits: list = []
+    width = 9
+
+    def emit(code: int) -> None:
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # clear-table
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:  # table full at 12 bits: clear and restart
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8))
+
+
+def test_lzw_roundtrip_past_width_boundary():
+    """Round-trip against a spec-compliant EarlyChange=1 encoder on a
+    payload that grows the table far past the 511-entry 9→10-bit
+    boundary (the ADVICE-flagged off-by-one: the old decoder switched
+    at 512 and silently produced garbage from byte ~254 on)."""
+    rng_state = 0x2545F4914F6CDD1D
+    chunks = []
+    for i in range(6000):
+        rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) \
+            % (1 << 64)
+        chunks.append(bytes([(rng_state >> 33) & 0xFF]))
+    payload = b"".join(chunks) + b"ABABABAB" * 200
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+    # and a compressible payload that exercises long table chains
+    text = (b"the quick brown fox jumps over the lazy dog " * 64
+            + payload[:512]) * 3
+    assert _lzw_decode(_lzw_encode(text)) == text
+
+
+def test_decodeparms_shorter_than_filter_list():
+    """/Filter [/ASCIIHexDecode /FlateDecode] with a one-element
+    /DecodeParms must still run BOTH decode stages (ADVICE: zip() used
+    to silently truncate the chain)."""
+    import zlib
+
+    payload = b"BT /F1 12 Tf (padded parms) Tj ET"
+    hexcomp = zlib.compress(payload).hex().encode() + b">"
+    raw = (b"1 0 obj\n<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode]"
+           b" /DecodeParms [null] >>\nstream\n" % len(hexcomp)) + hexcomp \
+        + b"\nendstream\nendobj\n"
+    doc = PdfDocument(raw)
+    from ray_script_extract.sources.pdfnative import Stream
+
+    st = doc.objects[1]
+    assert isinstance(st, Stream)
+    assert doc.stream_data(st) == payload
+
+
 def test_runlength_decode():
     # 2 literal bytes "ab", then "c" repeated 4x (257-253), then EOD
     assert _runlength_decode(b"\x01ab\xfdc\x80") == b"abcccc"

@@ -41,18 +41,47 @@ def test_kmeans_deterministic():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_embedding_lsh_recall_vs_exact():
-    """The bucketed near-dup must recover ~all pairs the exact
-    O(N²) path finds (32 bands × 4 bits ⇒ ≥ ~99.5% recall at the
-    τ=0.4 boundary), with zero false positives (exact verify)."""
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_embedding_lsh_recall_vs_exact(sf_dir):
+    """The bucketed near-dup must recover ≥99% of the pairs the exact
+    O(N²) path finds AT BOTH CORPUS SIZES (the r2 fixed 4-bit banding
+    saturated its 16 buckets/band as N grew — N-scaled keys from
+    ``_lsh_params`` must not), with zero false positives (exact f8
+    verify)."""
     from ray_script_extract.pipelines.queries import near_dup_embeddings
     from ray_script_extract.pipelines.similarity import near_dup_embeddings_lsh
 
-    exact = near_dup_embeddings(SF).to_pandas()
-    approx = near_dup_embeddings_lsh(SF).to_pandas()
+    exact = near_dup_embeddings(sf_dir).to_pandas()
+    approx = near_dup_embeddings_lsh(sf_dir).to_pandas()
     exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
     approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
     assert approx_pairs <= exact_pairs, "LSH path produced a false positive"
-    if exact_pairs:
-        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
-        assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+    assert exact_pairs, "exact twin found no pairs — test data changed?"
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.99, f"LSH near-dup recall too low: {recall}"
+
+
+def test_embedding_lsh_buckets_never_hit_cap():
+    """No band bucket may approach _BUCKET_CAP at sf0.1 — a capped
+    bucket is SKIPPED by pair generation, silently losing recall.
+    Key width must scale with N so occupancy stays ~_TARGET_BUCKET."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.dedup import _BUCKET_CAP
+    from ray_script_extract.pipelines.similarity import (
+        _band_key_matrix,
+        _lsh_params,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.1/embeddings.parquet",
+                      columns=["embedding"])
+    m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    bits, n_bands = _lsh_params(len(m), 0.4)
+    assert (1 << bits) >= len(m) // 64, "key width did not scale with N"
+    keys = _band_key_matrix(m, bits, n_bands)
+    _, counts = np.unique(keys.ravel(), return_counts=True)
+    assert counts.max() <= _BUCKET_CAP // 2, \
+        f"hot bucket {counts.max()} too close to cap {_BUCKET_CAP}"
