@@ -23,12 +23,21 @@ def extract_pdf_xml_document(pages: List[str]) -> List[ScriptObject]:
 
 def extract_pdf_raw_document(pdf_data: str) -> List[ScriptObject]:
     """``pdf_data`` is base64 (text column) of a native PDF."""
+    return extract_pdf_raw_document_with_media(pdf_data)[0]
+
+
+def extract_pdf_raw_document_with_media(pdf_data: str):
+    """(ScriptObjects, per-page media-ref lists) — the media half
+    feeds interleaved ``image`` spans (content-addressed refs for
+    page image XObjects; the reference's pdftohtml text path drops
+    images, SURVEY §1.2, so this is new-capability tier)."""
     import base64
 
-    from ..sources.pdfnative import pdf_to_page_xml
+    from ..sources.pdfnative import pdf_to_page_xml_and_media
 
     raw = base64.b64decode(pdf_data)
-    return extract_pdf_xml_document(pdf_to_page_xml(raw))
+    pages, media = pdf_to_page_xml_and_media(raw)
+    return extract_pdf_xml_document(pages), media
 
 
 def fixup_title_page(objects: List[ScriptObject]) -> None:

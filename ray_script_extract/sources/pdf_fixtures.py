@@ -49,10 +49,73 @@ def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
+def _encrypt_objects(objects: List[bytes], mode: str):
+    """Standard-security-handler encryption of fixture objects (empty
+    user AND owner passwords): every stream payload and literal string
+    is replaced by its ciphertext, /Length rewritten.  Returns
+    (new_objects_with_encrypt_dict, encrypt_obj_num, id0)."""
+    import hashlib
+    import re as _re
+
+    from .pdfcrypto import (
+        StandardDecryptor,
+        compute_file_key,
+        compute_o,
+        compute_u,
+    )
+
+    modes = {"rc4-40": (1, 2, 5, "rc4"), "rc4-128": (2, 3, 16, "rc4"),
+             "aesv2": (4, 4, 16, "aesv2")}
+    v, r, key_len, method = modes[mode]
+    p = -44
+    id0 = bytes(range(16))
+    o = compute_o(b"", b"", r, key_len)
+    fk = compute_file_key(b"", o, p, id0, r, key_len)
+    u = compute_u(fk, id0, r)
+    enc = StandardDecryptor(fk, method)
+
+    out: List[bytes] = []
+    for i, body in enumerate(objects):
+        num = i + 1
+        if b"stream\n" in body:
+            head, rest = body.split(b"stream\n", 1)
+            payload = rest[:-len(b"\nendstream")]
+            ct = enc.encrypt(payload, num, 0,
+                             iv=hashlib.md5(b"iv%d" % num).digest())
+            head = _re.sub(rb"/Length \d+",
+                           b"/Length %d" % len(ct), head)
+            body = head + b"stream\n" + ct + b"\nendstream"
+        else:
+            body = _re.sub(
+                rb"\(([^()\\]*)\)",
+                lambda m, n=num: b"<" + enc.encrypt(
+                    m.group(1), n, 0,
+                    iv=hashlib.md5(b"sv%d" % n).digest()).hex().encode()
+                + b">",
+                body)
+        out.append(body)
+    common = b"/O <%s> /U <%s> /P %d" % (o.hex().encode(),
+                                         u.hex().encode(), p)
+    if mode == "rc4-40":
+        ed = b"<< /Filter /Standard /V 1 /R 2 " + common + b" >>"
+    elif mode == "rc4-128":
+        ed = b"<< /Filter /Standard /V 2 /R 3 /Length 128 " \
+            + common + b" >>"
+    else:
+        ed = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+              b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+              b"/StmF /StdCF /StrF /StdCF " + common + b" >>")
+    out.append(ed)
+    return out, len(out), id0
+
+
 def build_pdf(pages: List[Sequence[Tuple]],
               compress: bool = True, page_w: int = 612,
               page_h: int = 792, objstm: bool = False,
-              type0: bool = False) -> bytes:
+              type0: bool = False,
+              encrypt: "str | None" = None,
+              cid_cmap: str = "/Identity-H",
+              images: "Optional[List[List[dict]]]" = None) -> bytes:
     """Build a PDF with a 2-level page tree (pages split into two
     /Pages nodes when >1 page) and Courier / Courier-Bold /
     Courier-Oblique fonts.  ``objstm=True`` serializes it PDF-1.5
@@ -77,7 +140,7 @@ def build_pdf(pages: List[Sequence[Tuple]],
                       b"/Ordering (Identity) /Supplement 0 >> "
                       b"/DW 600 /W [32 126 600] >>")
         font_num = add((f"<< /Type /Font /Subtype /Type0 "
-                        f"/BaseFont /Courier /Encoding /Identity-H "
+                        f"/BaseFont /Courier /Encoding {cid_cmap} "
                         f"/DescendantFonts [{cid_num} 0 R] >>").encode())
     else:
         font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
@@ -86,9 +149,35 @@ def build_pdf(pages: List[Sequence[Tuple]],
     font_obl = add(b"<< /Type /Font /Subtype /Type1 "
                    b"/BaseFont /Courier-Oblique >>")
 
+    # image XObjects: ``images`` is a per-page list of dicts
+    # {data: bytes (stored payload, e.g. a JPEG), w, h (pixel dims),
+    #  x, y, dw, dh (placement rect in PDF user space)}
+    img_names: List[List[str]] = []
+    img_name_to_num: dict = {}
+    for p, imgs in enumerate(images or []):
+        names = []
+        for im in imgs:
+            name = f"Im{len(img_name_to_num)}"
+            payload = im["data"]
+            num = add((f"<< /Type /XObject /Subtype /Image "
+                       f"/Width {im['w']} /Height {im['h']} "
+                       f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                       f"/Filter /DCTDecode /Length {len(payload)} >>\n"
+                       ).encode() + b"stream\n" + payload
+                      + b"\nendstream")
+            img_name_to_num[name] = num
+            names.append(name)
+        img_names.append(names)
+
     content_nums = []
-    for page_lines in pages:
+    for page_idx, page_lines in enumerate(pages):
         data = page_content(page_lines, page_h)
+        if images and page_idx < len(images):
+            ops = []
+            for name, im in zip(img_names[page_idx], images[page_idx]):
+                ops.append(f"q {im['dw']} 0 0 {im['dh']} {im['x']} "
+                           f"{im['y']} cm /{name} Do Q")
+            data += ("\n" + "\n".join(ops)).encode("latin-1")
         if compress:
             comp = zlib.compress(data)
             body = (f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
@@ -115,8 +204,13 @@ def build_pdf(pages: List[Sequence[Tuple]],
         add((f"<< /Type /Page /Parent {parent_of[i]} 0 R "
              f"/Contents {content_nums[i]} 0 R >>").encode())
 
+    xobj_res = ""
+    if img_name_to_num:
+        entries = " ".join(f"/{n} {num} 0 R"
+                           for n, num in img_name_to_num.items())
+        xobj_res = f" /XObject << {entries} >>"
     resources = (f"<< /Font << /F1 {font_num} 0 R /F2 {font_bold} 0 R "
-                 f"/F3 {font_obl} 0 R >> >>")
+                 f"/F3 {font_obl} 0 R >>{xobj_res} >>")
     if n > 1:
         kids_a = " ".join(f"{p} 0 R" for p in page_nums[:split])
         kids_b = " ".join(f"{p} 0 R" for p in page_nums[split:])
@@ -135,7 +229,17 @@ def build_pdf(pages: List[Sequence[Tuple]],
     catalog_num = add(f"<< /Type /Catalog /Pages {root_num} 0 R >>".encode())
 
     if objstm:
+        if encrypt:
+            raise NotImplementedError(
+                "fixture builder: encrypt supported for classic layout")
         return _serialize_objstm(objects, catalog_num)
+
+    trailer_extra = ""
+    if encrypt:
+        objects, enc_num, id0 = _encrypt_objects(objects, encrypt)
+        hex_id = id0.hex()
+        trailer_extra = (f" /Encrypt {enc_num} 0 R"
+                         f" /ID [<{hex_id}> <{hex_id}>]")
 
     # serialize with a classic xref table
     out = bytearray(b"%PDF-1.4\n")
@@ -148,7 +252,8 @@ def build_pdf(pages: List[Sequence[Tuple]],
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R"
+            f"{trailer_extra} >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
 

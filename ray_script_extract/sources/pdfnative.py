@@ -82,11 +82,14 @@ class Keyword:
 
 
 class Stream:
-    __slots__ = ("dict", "data")
+    __slots__ = ("dict", "data", "num", "gen")
 
-    def __init__(self, d: Dict, data: bytes) -> None:
+    def __init__(self, d: Dict, data: bytes,
+                 num: int = 0, gen: int = 0) -> None:
         self.dict = d
         self.data = data
+        self.num = num   # owning object number (per-object decryption
+        self.gen = gen   # keys need it; 0 when synthesized in tests)
 
 
 class _Lexer:
@@ -366,14 +369,87 @@ class PdfDocument:
     def __init__(self, raw: bytes) -> None:
         self.raw = raw
         self.objects: Dict[int, object] = {}
+        self._gens: Dict[int, int] = {}
         for m in _OBJ_RE.finditer(raw):
             num = int(m.group(1))
             lex = _Lexer(raw, m.end())
             try:
-                self.objects[num] = lex.parse_object()
+                obj = lex.parse_object()
             except Exception:
                 continue
+            if isinstance(obj, Stream):
+                obj.num, obj.gen = num, int(m.group(2))
+            self.objects[num] = obj
+            self._gens[num] = int(m.group(2))
+        self._setup_decryption()
         self._expand_object_streams()
+
+    def _trailer_dicts(self) -> List[Dict]:
+        """Every trailer dict in the file (classic ``trailer`` keyword
+        occurrences, later/incremental ones last) plus /Type /XRef
+        stream dicts — the two places /Encrypt and /ID live."""
+        out: List[Dict] = []
+        for m in re.finditer(rb"trailer", self.raw):
+            try:
+                d = _Lexer(self.raw, m.end()).parse_object()
+            except Exception:
+                continue
+            if isinstance(d, dict):
+                out.append(d)
+        for obj in self.objects.values():
+            if isinstance(obj, Stream) and obj.dict.get("/Type") == "/XRef":
+                out.append(obj.dict)
+        return out
+
+    def _setup_decryption(self) -> None:
+        """If the trailer names an /Encrypt dict, derive the file key
+        (empty user password, standard security handler) and decrypt
+        every stream and string IN PLACE — before ObjStm expansion,
+        since the containers themselves are encrypted.  /Type /XRef
+        streams and the /Encrypt dict's own strings are exempt per
+        spec."""
+        enc_ref = None
+        id0 = b""
+        for tr in self._trailer_dicts():
+            if "/Encrypt" in tr:
+                enc_ref = tr["/Encrypt"]
+            ids = tr.get("/ID")
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                id0 = ids[0]
+        if enc_ref is None:
+            return
+        from .pdfcrypto import build_decryptor
+
+        enc_dict = self.resolve(enc_ref)
+        if not isinstance(enc_dict, dict):
+            return
+        dec = build_decryptor(enc_dict, id0, resolve=self.resolve)
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else -1
+
+        def walk_strings(obj, num: int, gen: int):
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    if isinstance(v, bytes):
+                        obj[k] = dec.decrypt(v, num, gen)
+                    else:
+                        walk_strings(v, num, gen)
+            elif isinstance(obj, list):
+                for i, v in enumerate(obj):
+                    if isinstance(v, bytes):
+                        obj[i] = dec.decrypt(v, num, gen)
+                    else:
+                        walk_strings(v, num, gen)
+            elif isinstance(obj, Stream):
+                walk_strings(obj.dict, num, gen)
+
+        for num, obj in self.objects.items():
+            if num == enc_num:
+                continue
+            gen = self._gens.get(num, 0)
+            walk_strings(obj, num, gen)
+            if isinstance(obj, Stream) \
+                    and obj.dict.get("/Type") != "/XRef":
+                obj.data = dec.decrypt(obj.data, num, gen)
 
     def _expand_object_streams(self) -> None:
         """Inflate every /Type /ObjStm container into the object map —
@@ -582,8 +658,21 @@ class _Font:
                         code += 1
         # CID/composite fonts (/Subtype /Type0, Identity-H/V 2-byte
         # codes): widths come from the descendant CIDFont's /W ranges
-        # with /DW default — code == CID under Identity encodings
+        # with /DW default — code == CID under Identity encodings.
+        # Predefined Unicode CMaps (UniGB/UniJIS/UniKS/UniCNS ‑UCS2/
+        # ‑UTF16, H and V forms) have a UCS-2/UTF-16BE CODESPACE, so
+        # code bytes ARE the Unicode encoding: decode via utf-16-be
+        # (surrogate pairs in the UTF16 forms combine correctly, which
+        # per-code chr() cannot do).  Non-Unicode predefined CMaps
+        # (GBK-EUC-H etc.) need Adobe's mapping tables and keep the
+        # best-effort 2-byte decode; widths for non-Identity CMaps use
+        # /DW (CID lookup would need the same tables).
         self.cid = doc.resolve(font_dict.get("/Subtype")) == "/Type0"
+        enc_name = doc.resolve(font_dict.get("/Encoding"))
+        self.cid_utf16 = bool(
+            isinstance(enc_name, str)
+            and re.match(r"/Uni(GB|JIS|JIS2004|JISX0213|KS|CNS)"
+                         r"-(UCS2|UTF16)-[HV]$", enc_name))
         self.default_width = 1000.0
         self.cid_widths: Dict[int, float] = {}
         desc_dict: Optional[Dict] = None
@@ -673,6 +762,8 @@ class _Font:
         codes = self._codes(raw)
         if self.to_unicode:
             return "".join(self.to_unicode.get(c, chr(c)) for c in codes)
+        if self.cid and self.cid_utf16:
+            return raw.decode("utf-16-be", "ignore")
         if self.cid:
             return "".join(chr(c) for c in codes)
         if self.diff_map:
@@ -716,7 +807,8 @@ class _TextRun:
         self.italic = italic
 
 
-def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], float, float]:
+def _extract_page_runs(doc: PdfDocument, page: Dict
+                       ) -> Tuple[List[_TextRun], List[Dict], float, float]:
     media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("/MediaBox"))
                                              or [0, 0, 612, 792])]
     page_w = media[2] - media[0]
@@ -741,6 +833,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
     content = b"\n".join(chunks)
 
     runs: List[_TextRun] = []
+    media: List[Dict] = []
     font: Optional[_Font] = None
     font_key = ""
     size = 12.0
@@ -819,7 +912,29 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
                 name = stack[-1]
                 xo = doc.resolve(xobjects.get(name)) \
                     if isinstance(name, str) else None
-                if (depth < 8 and isinstance(xo, Stream)
+                if (isinstance(xo, Stream)
+                        and doc.resolve(xo.dict.get("/Subtype"))
+                        == "/Image"):
+                    # content-addressed media span: the engine's
+                    # interleaved-document model carries images as
+                    # (kind="image", media_ref) — ref is the sha256 of
+                    # the stored payload (DCT/JPX stay encoded, which
+                    # is exactly what a media store would keep), dims
+                    # from the image dict, placement from the CTM
+                    # (images paint the unit square scaled by cm)
+                    import hashlib as _hl
+
+                    digest = _hl.sha256(xo.data).hexdigest()
+                    media.append({
+                        "ref": f"img://sha256/{digest}",
+                        "width": int(doc.resolve(xo.dict.get("/Width"))
+                                     or 0),
+                        "height": int(doc.resolve(xo.dict.get("/Height"))
+                                      or 0),
+                        "top": round(page_h - ctm[3] - abs(ctm[1])),
+                        "left": round(ctm[2]),
+                    })
+                elif (depth < 8 and isinstance(xo, Stream)
                         and doc.resolve(xo.dict.get("/Subtype")) == "/Form"):
                     saved = (font, font_key, size, leading, tx, ty,
                              line_x, line_y, scale_x, scale_y,
@@ -915,15 +1030,32 @@ def _extract_page_runs(doc: PdfDocument, page: Dict) -> Tuple[List[_TextRun], fl
             stack.clear()
 
     exec_content(content, page_fonts, page_xobjects, 0)
-    return runs, page_w, page_h
+    return runs, media, page_w, page_h
 
 
 def pdf_to_page_xml(raw: bytes) -> List[str]:
     """PDF bytes → list of pdftohtml-style <page> XML strings."""
+    return pdf_to_page_xml_and_media(raw)[0]
+
+
+def pdf_media_refs(raw: bytes) -> List[List[Dict]]:
+    """Per-page image XObject references: for each page, a list of
+    ``{ref, width, height, top, left}`` dicts in paint order — the
+    content-addressed media spans the interleaved document model
+    carries alongside text (the reference's pdftohtml text path drops
+    images entirely, SURVEY §1.2; this is a new-capability tier)."""
+    return pdf_to_page_xml_and_media(raw)[1]
+
+
+def pdf_to_page_xml_and_media(raw: bytes
+                              ) -> Tuple[List[str], List[List[Dict]]]:
+    """PDF bytes → (per-page XML strings, per-page media ref lists)."""
     doc = PdfDocument(raw)
     out: List[str] = []
+    out_media: List[List[Dict]] = []
     for num, page in enumerate(doc.pages(), start=1):
-        runs, page_w, page_h = _extract_page_runs(doc, page)
+        runs, media, page_w, page_h = _extract_page_runs(doc, page)
+        out_media.append(sorted(media, key=lambda m: (m["top"], m["left"])))
         # fontspec table per unique (font resource, size)
         spec_ids: Dict[str, int] = {}
         specs: List[str] = []
@@ -953,4 +1085,4 @@ def pdf_to_page_xml(raw: bytes) -> List[str]:
         out.append(
             f'<page number="{num}" width="{page_w:g}" height="{page_h:g}">'
             + "".join(specs) + "".join(texts) + "</page>")
-    return out
+    return out, out_media

@@ -42,7 +42,7 @@ class ExtractorActor:
         # regex; per-actor caches go here.
         from ..engine import pdfdoc  # noqa: F401  (registers PDF path)
         self._pdf_extract = pdfdoc.extract_pdf_xml_document
-        self._pdf_raw_extract = pdfdoc.extract_pdf_raw_document
+        self._pdf_raw_extract = pdfdoc.extract_pdf_raw_document_with_media
 
     # -- per-document extraction --------------------------------------
     def extract_doc(self, doc_id: str, spans: List[Dict]) -> List[Dict]:
@@ -77,8 +77,25 @@ class ExtractorActor:
             elif kind == "text":
                 emit("Text", span["text"])
             elif kind == "pdf_raw":
-                for obj in self._pdf_raw_extract(span["text"]):
+                # interleave content-addressed image spans at their
+                # page position: each page's images emit after that
+                # page's text objects (ScriptObject carries page_num)
+                objs, page_media = self._pdf_raw_extract(span["text"])
+                cur_page = 1
+
+                def emit_media_through(page: int) -> None:
+                    nonlocal cur_page
+                    while cur_page <= min(page, len(page_media)):
+                        for m in page_media[cur_page - 1]:
+                            emit("image",
+                                 text=f'{m["width"]}x{m["height"]}',
+                                 media_ref=m["ref"])
+                        cur_page += 1
+
+                for obj in objs:
+                    emit_media_through(obj.page_num - 1)
                     emit(obj.get_type_json(), obj.content)
+                emit_media_through(len(page_media))
             elif kind in ("image", "media"):
                 emit(kind, media_ref=span["media_ref"])
             else:

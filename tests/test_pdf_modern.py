@@ -149,6 +149,138 @@ def test_decodeparms_shorter_than_filter_list():
     assert doc.stream_data(st) == payload
 
 
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2"])
+def test_encrypted_twin_converts_identically(mode):
+    """Standard-security-handler files with an EMPTY user password
+    (RC4-40, RC4-128 and AESV2) must extract exactly like their
+    plaintext twins — what poppler gives the reference for free
+    (`Parser.php:68-79`)."""
+    plain = pdf_to_page_xml(build_pdf(PAGES))
+    raw = build_pdf(PAGES, encrypt=mode)
+    assert b"/Encrypt" in raw
+    assert b"INT. LAB" not in raw  # the payload really is ciphertext
+    assert pdf_to_page_xml(raw) == plain
+    assert "INT. LAB - NIGHT" in pdf_to_page_xml(raw)[0]
+
+
+def test_encrypted_nonempty_password_raises():
+    """A file whose user password is NOT empty must fail loudly (we
+    only support the empty-user-password majority), not emit garbage."""
+    from ray_script_extract.sources.pdfcrypto import (
+        build_decryptor,
+        compute_file_key,
+        compute_o,
+        compute_u,
+    )
+
+    o = compute_o(b"owner", b"secret", 3, 16)
+    fk = compute_file_key(b"secret", o, -44, b"\x01" * 16, 3, 16)
+    u = compute_u(fk, b"\x01" * 16, 3)
+    enc = {"/Filter": "/Standard", "/V": 2, "/R": 3, "/Length": 128,
+           "/O": o, "/U": u, "/P": -44}
+    with pytest.raises(NotImplementedError, match="password"):
+        build_decryptor(enc, b"\x01" * 16)
+
+
+def test_predefined_ucs2_cmap_decodes_like_identity_twin():
+    """A /Type0 font under /UniJIS-UCS2-H (predefined Unicode CMap:
+    the 2-byte codespace IS UCS-2) must extract CJK text identically
+    to its /Identity-H twin authored with the same Unicode codes."""
+    cjk = [[(72, 108, "INT. LAB - NIGHT"),
+            (96, 108, "機械は動く。", {"cid": True})]]
+    ident = pdf_to_page_xml(build_pdf(cjk, type0=True))
+    unijis = pdf_to_page_xml(build_pdf(cjk, type0=True,
+                                       cid_cmap="/UniJIS-UCS2-H"))
+    assert unijis == ident
+    assert "機械は動く。" in unijis[0]
+
+
+def test_utf16_cmap_combines_surrogate_pairs():
+    """Under a ‑UTF16 CMap a non-BMP char arrives as a surrogate pair
+    of 2-byte codes; the decoder must combine them into one char
+    (per-code chr() would emit two lone surrogates)."""
+    emoji = "𝄞x"  # U+1D11E MUSICAL SYMBOL G CLEF + ascii
+    codes = emoji.encode("utf-16-be")
+    pages = [[(72, 108, "placeholder")]]
+    raw = build_pdf(pages, type0=True, cid_cmap="/UniJIS-UTF16-H")
+    from ray_script_extract.sources.pdfnative import PdfDocument, _Font
+
+    doc = PdfDocument(raw)
+    font_dict = next(
+        doc.resolve(o) for o in doc.objects.values()
+        if isinstance(o, dict) and o.get("/Subtype") == "/Type0")
+    font = _Font(doc, font_dict)
+    assert font.decode(codes) == emoji
+
+
+def test_pdf_image_xobject_yields_interleaved_media_span():
+    """A page image XObject must surface as an interleaved
+    ``(kind="image", media_ref=img://sha256/…)`` span at its page
+    position — the engine's interleaved-document model; the
+    reference's pdftohtml text path drops images (SURVEY §1.2)."""
+    import base64
+    import hashlib
+
+    from ray_script_extract.sources.pdfnative import pdf_to_page_xml_and_media
+    from ray_script_extract.stages.extract import ExtractorActor
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"JFIFfake" * 10 + b"\xff\xd9"
+    pages_src = [[(72, 108, "INT. LAB - NIGHT"),
+                  (96, 108, "A humming machine fills the room.")],
+                 [(72, 108, "EXT. STREET - DAY")]]
+    imgs = [[{"data": fake_jpeg, "w": 32, "h": 16,
+              "x": 100, "y": 300, "dw": 128, "dh": 64}], []]
+    raw = build_pdf(pages_src, images=imgs)
+
+    pages, media = pdf_to_page_xml_and_media(raw)
+    digest = hashlib.sha256(fake_jpeg).hexdigest()
+    assert media[0][0]["ref"] == f"img://sha256/{digest}"
+    assert (media[0][0]["width"], media[0][0]["height"]) == (32, 16)
+    assert media[1] == []
+    assert "INT. LAB - NIGHT" in pages[0]  # text unaffected
+
+    spans = ExtractorActor().extract_doc(
+        "d1", [{"kind": "pdf_raw",
+                "text": base64.b64encode(raw).decode()}])
+    img_spans = [s for s in spans if s["kind"] == "image"]
+    assert len(img_spans) == 1
+    assert img_spans[0]["media_ref"] == f"img://sha256/{digest}"
+    assert img_spans[0]["text"] == "32x16"
+    # page-1 image sits after page-1 text and before page-2 text
+    page2_offset = next(s["offset"] for s in spans
+                        if s["text"] == "EXT. STREET - DAY")
+    assert img_spans[0]["offset"] < page2_offset
+
+
+def test_aes_fips197_vector():
+    """FIPS-197 appendix C.1 + NIST SP800-38A CBC vectors pin the
+    pure-Python AES implementation."""
+    from ray_script_extract.sources.pdfcrypto import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+    k2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p2 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    c2 = aes_cbc_encrypt(k2, iv, p2)
+    assert c2[16:32].hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert aes_cbc_decrypt(k2, c2) == p2
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
 def test_runlength_decode():
     # 2 literal bytes "ab", then "c" repeated 4x (257-253), then EOD
     assert _runlength_decode(b"\x01ab\xfdc\x80") == b"abcccc"
