@@ -47,8 +47,13 @@ def main(argv=None) -> int:
         # single-document conversion needs no cluster
         return _convert(args)
 
+    import os
+
     import ray
 
+    # inherited by raylet → workers (see ray_script_extract._tune_malloc)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")

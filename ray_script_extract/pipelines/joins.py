@@ -230,6 +230,10 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 if pa.types.is_integer(typ)}
 
     def merge(tbl: pa.Table) -> pa.Table:
+        # see similarity.bverify: by-value-pickled closure → explicit
+        # malloc tuning (pandas merges allocate large temporaries)
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
         side = tbl.column("__side")
         # each side's own columns are null-free after the filter, so
         # to_pandas keeps exact integer dtypes

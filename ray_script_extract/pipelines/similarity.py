@@ -262,14 +262,16 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
 
     dim = _embedding_dim(sf_dir)
     emb = _read_emb(sf_dir)
-    pairs = _bucket_pairs(emb.map_batches(bands, batch_format="pyarrow",
-                                          zero_copy_batch=True))
+    band_rows = emb.map_batches(bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     if (n_rows * dim * 8 <= _BROADCAST_VERIFY_BYTES
             and not force_join_verify):
         # small-side broadcast: the budget check above BOUNDS the
         # driver read, so this is not an unbounded materialization
         import pyarrow.parquet as pq
+
+        from .dedup import _BUCKET_CAP
 
         t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
@@ -280,25 +282,68 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
         order = np.argsort(all_ids)
         handle = ray.put((all_ids[order], mat[order]))
 
-        def bverify(batch: pa.Table) -> pa.Table:
+        def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+            """Candidate generation FUSED with exact verify, bucket by
+            bucket: per run-size group, one batched (runs, s, dim) ×
+            (runs, s, dim) einsum — working sets stay a few MB
+            (cache-hot), vs flat per-pair gathers that materialize
+            2×(n_pairs, dim) = GBs (measured 10× slower on this box's
+            fault-bound memory)."""
+            import ray_script_extract as _rse
+            _rse._tune_malloc()
+            empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                  "id_b": pd.Series([], dtype=np.int64)})
             ids_, m_ = ray.get(handle)
-            a = batch.column("id_a").to_numpy(zero_copy_only=False)
-            b = batch.column("id_b").to_numpy(zero_copy_only=False)
-            cos = np.round((m_[np.searchsorted(ids_, a)]
-                            * m_[np.searchsorted(ids_, b)]).sum(axis=1), 4)
-            keep = cos >= threshold
-            return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                             "id_b": pa.array(b[keep], pa.int64())})
+            g = df.drop_duplicates(["band_key", "doc_id"]) \
+                .sort_values(["band_key", "doc_id"], kind="stable")
+            k = g["band_key"].to_numpy()
+            d = g["doc_id"].to_numpy().astype(np.int64, copy=False)
+            if len(d) == 0:
+                return empty
+            change = np.r_[True, k[1:] != k[:-1]]
+            run_id = np.cumsum(change) - 1
+            sizes = np.bincount(run_id)
+            keep = (sizes >= 2) & (sizes <= _BUCKET_CAP)
+            d = d[keep[run_id]]
+            sizes = sizes[keep]
+            if len(sizes) == 0:
+                return empty
+            starts = np.cumsum(sizes) - sizes
+            pos = np.searchsorted(ids_, d)
+            out_a, out_b = [], []
+            for s in np.unique(sizes):
+                s = int(s)
+                runs = starts[sizes == s]
+                ia, ib = np.triu_indices(s, k=1)
+                # chunk runs so (chunk, s, s) sims stay ~8 MB
+                per = max(1, (8 << 20) // (8 * s * s))
+                for lo in range(0, len(runs), per):
+                    r = runs[lo:lo + per]
+                    idx = r[:, None] + np.arange(s)[None, :]
+                    v = m_[pos[idx]]  # (runs, s, dim)
+                    sims = np.round(np.einsum("rik,rjk->rij", v, v), 4)
+                    rr, pp = np.nonzero(sims[:, ia, ib] >= threshold)
+                    # doc ids ascend within a run → id_a < id_b
+                    out_a.append(d[idx[rr, ia[pp]]])
+                    out_b.append(d[idx[rr, ib[pp]]])
+            if not out_a:
+                return empty
+            return pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+            }).drop_duplicates()
 
         from .joins import hash_partitioned_map
 
-        verified = pairs.map_batches(bverify, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-        # cross-band duplicate pairs survive verify — one thin shuffle
-        # on the (small) verified set dedupes them
+        verified = hash_partitioned_map(band_rows, ["band_key"],
+                                        bucket_verify)
+        # a pair can verify in several bands (different partitions) —
+        # one thin shuffle on the (small) verified set dedupes
         return hash_partitioned_map(
             verified, ["id_a", "id_b"],
             lambda df: df.drop_duplicates()).sort(["id_a", "id_b"])
+
+    pairs = _bucket_pairs(band_rows)
 
     def packed(prefix: str):
         # NORMALIZED embedding packed into ONE fixed-width binary
