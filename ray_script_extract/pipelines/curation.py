@@ -1,0 +1,243 @@
+"""Corpus-curation operators: deterministic stratified sampling,
+quality-ranked exact dedup, and the composite curation rollup a
+training-data pipeline chains them into.
+
+These are engine-level additions (no reference counterpart — the
+reference is a one-doc-at-a-time converter, `Parser.php`); they extend
+the dedup/text-analysis family with the selection steps an LLM-data
+pipeline needs between "score every doc" and "write the training set":
+
+* ``sample_stratified`` — keep a fixed number of docs per stratum
+  (language, source, …) chosen by a deterministic content-independent
+  hash rank, so the sample is reproducible across runs/cluster sizes
+  and exactly SQL-checkable (``ROW_NUMBER() OVER (PARTITION BY …
+  ORDER BY md5_number_lower(…))``).
+* ``dedup_exact_keep_best`` — exact dedup that keeps the BEST copy of
+  each duplicate group (longest, tie → smallest doc_id) instead of the
+  arbitrary first; emits the group size so downstream weighting can
+  up-weight formerly-duplicated docs.
+* ``curate_corpus`` — quality filter (reusing the oracle-pinned
+  ``doc_quality`` metrics) → keep-best exact dedup → per-language
+  rollup, all in one streamed pass + one hash shuffle.
+
+Scale shape: every operator ships only (key, doc_id, small ints)
+through the shuffle — never text.  The per-stratum / per-group reduces
+ride ``hash_partitioned_map`` (ONE shuffle on a partition id, all keys
+of a partition reduced vectorized), so group cardinality can be
+arbitrarily high (see joins.py on Ray 2.49's per-group dispatch cost).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .joins import hash_partitioned_map
+from .text_analysis import _STOP_SQL_LIST, quality_metrics
+
+_DEFAULT_N_PER_KEY = 40
+
+
+def _rank_hash(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 rank per doc_id ≡ DuckDB
+    ``md5_number_lower(CAST(doc_id AS VARCHAR))`` (low 8 md5 bytes,
+    little-endian — same identity dedup.py pins for minhash).  uint64
+    ascending order == DuckDB UBIGINT ascending order."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[8:],
+                        "little") for d in doc_ids),
+        dtype=np.uint64, count=len(doc_ids))
+
+
+def sample_stratified(sf_dir: str, key: str = "lang",
+                      n_per_key: int = _DEFAULT_N_PER_KEY):
+    """At most ``n_per_key`` documents per stratum, ranked by a
+    deterministic hash of doc_id (content-independent, reproducible,
+    no RNG).  One shuffle on the stratum key; per-partition the head
+    is a single vectorized sort + groupby.head over ALL strata of the
+    partition."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", key])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch.column(key),
+            "doc_id": batch.column("doc_id"),
+            "__rk": pa.array(_rank_hash(ids), pa.uint64()),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "__rk", "doc_id"], kind="stable")
+        return df.groupby(key, sort=False).head(n_per_key)[[key, "doc_id"]]
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_partitioned_map(tagged, [key], per_partition) \
+        .sort([key, "doc_id"])
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents) t
+WHERE rk <= {_DEFAULT_N_PER_KEY}
+ORDER BY lang, doc_id
+"""
+
+
+_WS_RE = None  # compiled lazily once per worker
+
+
+def _fingerprints(texts: "pa.Array | pa.ChunkedArray") -> list:
+    """md5 hexdigest of the NORMALIZED text (lowercase, whitespace
+    runs collapsed, stripped) — ≡ DuckDB
+    ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))``.
+    Normalizing the key is what makes keep-best non-degenerate: raw
+    duplicates always tie on length, but near-identical crawls
+    differing in case/whitespace form real groups where the longest
+    raw copy wins.  The 16-byte key is what ships through the shuffle,
+    never the text."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s+")
+    return [hashlib.md5(_WS_RE.sub(" ", t.lower()).strip()
+                        .encode("utf-8")).hexdigest()
+            for t in texts.to_pylist()]
+
+
+def dedup_exact_keep_best(sf_dir: str):
+    """Exact dedup keeping the best copy per content group: longest
+    (max n_chars), tie → min doc_id; emits the duplicate-group size.
+    The map stage reduces each row to (fp, doc_id, n_chars) so the
+    shuffle never carries text; the reduce handles every fingerprint
+    of its partition in one sort + groupby pass."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fp": pa.array(_fingerprints(batch.column("text")), pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("fp", sort=False)
+        best = g.head(1)
+        n_dups = g.size().to_numpy()  # g preserves best's fp order
+        return pd.DataFrame({
+            "doc_id": best["doc_id"].to_numpy(),
+            "n_dups": n_dups.astype(np.int64),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_partitioned_map(tagged, ["fp"], per_partition).sort("doc_id")
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, n_dups FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY fp) AS n_dups
+  FROM f) t
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+def curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composite curation pass: quality filter (bucket == 'ok', the
+    oracle-pinned ``doc_quality`` thresholds) → keep-best exact dedup
+    → per-language rollup (kept_docs, total_chars).
+
+    One streamed map (metrics + filter + fingerprint), one hash
+    shuffle on the fingerprint; each reduce partition emits ≤ one
+    partial row per language, so the final sum is a bounded
+    (partitions × languages)-row driver fold — same pattern as q5's
+    final rollup."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def score_filter(batch: pa.Table) -> pa.Table:
+        n_tokens, n_stop, n_long = quality_metrics(batch.column("text"))
+        denom = np.maximum(n_tokens, 1)
+        ok = ((n_tokens >= 5)
+              & (np.floor(100.0 * n_stop / denom) <= 40)
+              & (np.floor(100.0 * n_long / denom) <= 50))
+        kept = batch.filter(pa.array(ok))
+        return pa.table({
+            "fp": pa.array(_fingerprints(kept.column("text")), pa.string()),
+            "doc_id": kept.column("doc_id"),
+            "lang": kept.column("lang"),
+            "n_chars": kept.column("n_chars"),
+        })
+
+    def keep_best_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        best = df.groupby("fp", sort=False).head(1)
+        return (best.groupby("lang", as_index=False, sort=False)
+                    .agg(kept_docs=("doc_id", "count"),
+                         total_chars=("n_chars", "sum")))
+
+    partials = hash_partitioned_map(
+        ds.map_batches(score_filter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["fp"], keep_best_rollup).to_pandas()  # ≤ partitions × langs rows
+    out = (partials.groupby("lang", as_index=False, sort=True)
+                   .agg(kept_docs=("kept_docs", "sum"),
+                        total_chars=("total_chars", "sum")))
+    out["kept_docs"] = out["kept_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+CURATE_CORPUS_SQL = """
+WITH m AS (
+  SELECT doc_id, lang, n_chars, text,
+         regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
+         len(list_filter(toks, x -> length(x) >= 8)) AS n_long
+  FROM m
+), ok AS (
+  SELECT doc_id, lang, n_chars, text FROM q
+  WHERE n_tokens >= 5
+    AND FLOOR(100.0 * n_stop / GREATEST(n_tokens, 1)) <= 40
+    AND FLOOR(100.0 * n_long / GREATEST(n_tokens, 1)) <= 50
+), kept AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM ok
+)
+SELECT lang, COUNT(*) AS kept_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept WHERE rk = 1
+GROUP BY lang ORDER BY lang
+""".format(stop_list=_STOP_SQL_LIST)

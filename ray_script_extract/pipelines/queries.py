@@ -1097,6 +1097,19 @@ from .similarity import knn_cosine_ivf, near_dup_embeddings_lsh  # noqa: E402
 QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
 QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
 
+from .curation import (  # noqa: E402
+    CURATE_CORPUS_SQL,
+    DEDUP_KEEP_BEST_SQL,
+    SAMPLE_STRATIFIED_SQL,
+    curate_corpus,
+    dedup_exact_keep_best,
+    sample_stratified,
+)
+
+QUERIES["sample_stratified"] = sample_stratified
+QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
+QUERIES["curate_corpus"] = curate_corpus
+
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
@@ -1126,6 +1139,9 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_simhash": SIMHASH_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
+    "curate_corpus": CURATE_CORPUS_SQL,
     # langid_ngram, media_features: non-SQL-expressible (profile
     # classifier, model scoring) → rows-only checks
 }

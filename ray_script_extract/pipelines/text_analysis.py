@@ -114,6 +114,42 @@ def langid_ngram(sf_dir: str):
                           zero_copy_batch=True).sort("doc_id")
 
 
+_STOP_ARR = pa.array(sorted(_STOP_SET), pa.string())
+
+
+def quality_metrics(texts: "pa.Array | pa.ChunkedArray"
+                    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Vectorized (n_tokens, n_stopwords, n_long_tokens) per document —
+    semantics identical to ``t.lower().split()`` counting (and to the
+    DuckDB ``regexp_extract_all(lower(text), '\\S+')`` oracle): split
+    on whitespace runs, drop the empty edge tokens, then segment-sum
+    the per-token predicates with a cumsum-diff (handles zero-token
+    docs, which ``np.add.reduceat`` cannot)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    seg_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    bounds = np.zeros(len(seg_len) + 1, np.int64)
+    np.cumsum(seg_len, out=bounds[1:])
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    stop = np.logical_and(
+        pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False),
+        valid)
+    longt = np.logical_and(
+        pc.greater_equal(pc.utf8_length(flat), 8)
+          .to_numpy(zero_copy_only=False),
+        valid)
+
+    def seg_sum(mask: np.ndarray) -> np.ndarray:
+        cs = np.zeros(len(mask) + 1, np.int64)
+        np.cumsum(mask, out=cs[1:])
+        return cs[bounds[1:]] - cs[bounds[:-1]]
+
+    return seg_sum(valid), seg_sum(stop), seg_sum(longt)
+
+
 def doc_quality(sf_dir: str):
     """Integer quality metrics per document + a bucketed verdict.
 
@@ -124,16 +160,7 @@ def doc_quality(sf_dir: str):
                                columns=["doc_id", "text"])
 
     def run(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        n_stop = np.zeros(n, dtype=np.int64)
-        n_long = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.lower().split()
-            n_tokens[i] = len(toks)
-            n_stop[i] = sum(1 for x in toks if x in _STOP_SET)
-            n_long[i] = sum(1 for x in toks if len(x) >= 8)
+        n_tokens, n_stop, n_long = quality_metrics(batch.column("text"))
         denom = np.maximum(n_tokens, 1)
         stop_pct = np.floor(100.0 * n_stop / denom).astype(np.int64)
         long_pct = np.floor(100.0 * n_long / denom).astype(np.int64)
