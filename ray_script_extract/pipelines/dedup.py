@@ -754,3 +754,170 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE 10 * i >= 6 * (sa.n + sb.n - i)
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_DRIVER_CC_EDGES = 5_000_000  # ≤ this many directed edges (80 MB) → driver
+
+
+def _components_numpy(u: np.ndarray, v: np.ndarray
+                      ) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized connected components over compacted node ids:
+    min-neighbor hook + pointer-jumping (labels[labels] until fixed),
+    O(log n) fully-vectorized rounds.  Returns (nodes_sorted_unique,
+    root_index_per_node)."""
+    nodes = np.unique(np.concatenate([u, v]))
+    cu = np.searchsorted(nodes, u)
+    cv = np.searchsorted(nodes, v)
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, cu, labels[cv])
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            return nodes, labels
+        labels = new
+
+
+def dedup_components(sf_dir: str, pair_source=None, max_iters: int = 30,
+                     force_distributed: bool = False):
+    """Connected components over the minhash near-dup pair graph —
+    the step between "find dup pairs" and "pick one canonical doc per
+    CLUSTER" (pairwise keep-min under-deletes: a~b, b~c keeps both a
+    and c unless the transitive cluster is resolved).
+
+    HYBRID, like the emb-LSH verify: when the directed edge list fits
+    ``_DRIVER_CC_EDGES`` (the BOUND that makes the driver read legal)
+    the components are solved in one vectorized numpy pass
+    (min-neighbor hook + pointer jumping, O(log n) rounds).  Above the
+    budget — or under ``force_distributed`` (tests) — distributed
+    min-label propagation runs: every node starts labelled with its
+    own id; each round propagates labels one hop along the (static,
+    materialized) edge list — one partitioned join edges⨝labels plus
+    one min-reduce per round, both on the keyed-op backbone.  The label
+    SUM is monotone non-increasing, so convergence is an O(1) driver
+    scalar compare per round, not a change-join.  Rounds needed = max
+    over clusters of the shortest-path distance to the cluster's min
+    node — small for dup clusters (near-cliques); ``max_iters`` guards
+    pathological chains.
+
+    Scale shape: state is (node, label) int64 pairs for nodes that
+    appear in SOME pair — a tiny fraction of the corpus — and each
+    round touches only edges + labels, never documents.  Returns
+    (doc_id, component, csize) with component = min doc_id of the
+    cluster; exact recursive-CTE DuckDB oracle below."""
+    from .joins import (
+        groupby_agg_partitioned,
+        hash_join_via_groupby,
+        hash_partitioned_map,
+    )
+
+    if pair_source is None:
+        pair_source = dedup_minhash_lsh
+    pairs = pair_source(sf_dir)
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(both_directions, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+            "csize": pa.array([], pa.int64()),
+        }))
+
+    if n_edges <= _DRIVER_CC_EDGES and not force_distributed:
+        # bounded by the budget check above — not an unbounded
+        # driver materialization
+        df = edges.to_pandas()
+        nodes, roots = _components_numpy(df["u"].to_numpy(np.int64),
+                                         df["v"].to_numpy(np.int64))
+        # nodes is ascending, so min compacted index == min doc_id
+        sizes = np.bincount(roots).astype(np.int64)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "component": pa.array(nodes[roots], pa.int64()),
+            "csize": pa.array(sizes[roots], pa.int64()),
+        }))
+
+    edges_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    labels_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["u"].drop_duplicates()
+        return pd.DataFrame({"node": nodes.to_numpy(np.int64),
+                             "label": nodes.to_numpy(np.int64)})
+
+    labels = hash_partitioned_map(edges, ["u"], init_labels).materialize()
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("u"), "label": t.column("label")})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor labels flow v -> u, then min-reduce with the
+        # current labels unioned in (a node keeps its own label)
+        msgs = hash_join_via_groupby(
+            edges, labels, left_on="v", right_on="node",
+            left_schema=edges_schema, right_schema=labels_schema,
+        ).map_batches(to_msgs, batch_format="pyarrow")
+        labels = groupby_agg_partitioned(
+            labels.union(msgs), ["node"], {"label": "min"}).materialize()
+        cur = labels.aggregate(ray.data.aggregate.Sum("label"))["sum(label)"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"dedup_components: no convergence in {max_iters} rounds "
+            f"(pathological chain — raise max_iters)")
+
+    def with_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["node"].to_numpy(np.int64),
+            "component": df["label"].to_numpy(np.int64),
+        })
+        out["csize"] = out.groupby("component")["component"] \
+            .transform("size").astype(np.int64)
+        return out
+
+    return hash_partitioned_map(labels, ["label"], with_sizes) \
+        .sort("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_SQL}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS csize
+FROM labels ORDER BY doc_id
+"""

@@ -1035,6 +1035,8 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 from .dedup import (  # noqa: E402
+    DEDUP_COMPONENTS_SQL,
+    dedup_components,
     MINHASH_LSH_SQL,
     NGRAM_JACCARD_SQL,
     SIMHASH_SQL,
@@ -1109,6 +1111,7 @@ from .curation import (  # noqa: E402
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
+QUERIES["dedup_components"] = dedup_components
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -1142,6 +1145,7 @@ ORACLE_SQL: Dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     # langid_ngram, media_features: non-SQL-expressible (profile
     # classifier, model scoring) → rows-only checks
 }
