@@ -1052,6 +1052,7 @@ from .analytics import (  # noqa: E402
 from .multimodal import media_features  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
+    LANGID_SQL,
     WINNOW_SQL,
     doc_quality,
     doc_winnow_fingerprints,
@@ -1146,6 +1147,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
-    # langid_ngram, media_features: non-SQL-expressible (profile
-    # classifier, model scoring) → rows-only checks
+    "langid_ngram": LANGID_SQL,
+    # media_features etc.: non-SQL-expressible (model scoring,
+    # extraction-dependent) → rows-only checks
 }

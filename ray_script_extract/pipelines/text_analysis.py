@@ -40,22 +40,27 @@ def _trigram_profile(text: str) -> Dict[str, int]:
 
 
 _PROFILES = {lang: _trigram_profile(seed) for lang, seed in _LANG_SEEDS.items()}
-_PROFILE_NORMS = {lang: float(np.sqrt(sum(v * v for v in p.values())))
-                  for lang, p in _PROFILES.items()}
+# squared profile norms stay INTEGER: scoring by dot²/normsq (same
+# argmax as cosine — dot ≥ 0 and the doc-side norm is a per-doc
+# constant) keeps every arithmetic step exactly reproducible in SQL
+# (int multiply < 2^53 then ONE IEEE division), which is what makes
+# the LANGID_SQL oracle exact rather than rows-only
+_PROFILE_NORMSQ = {lang: int(sum(v * v for v in p.values()))
+                   for lang, p in _PROFILES.items()}
 
 
 def predict_lang(text: str) -> str:
-    """Cosine similarity of char-trigram counts vs per-language seed
-    profiles; deterministic tie-break by language code."""
+    """Cosine-argmax of char-trigram counts vs per-language seed
+    profiles, scored as dot²/normsq (argmax-equivalent, see above);
+    deterministic tie-break by language code."""
     doc = _trigram_profile(text[:2000])
     if not doc:
         return "und"
-    doc_norm = float(np.sqrt(sum(v * v for v in doc.values())))
     best = ("und", -1.0)
     for lang in sorted(_PROFILES):
         prof = _PROFILES[lang]
         dot = sum(cnt * prof.get(g, 0) for g, cnt in doc.items())
-        score = dot / (doc_norm * _PROFILE_NORMS[lang])
+        score = float(dot * dot) / _PROFILE_NORMSQ[lang]
         if score > best[1]:
             best = (lang, score)
     return best[0]
@@ -78,7 +83,8 @@ _VOCAB_CODES = _VOCAB_CODES[_order]
 _PROFILE_MAT = np.array(
     [[_PROFILES[lang].get(_VOCAB[j], 0) for j in _order]
      for lang in _LANGS], dtype=np.float64)
-_PROF_NORM_ARR = np.array([_PROFILE_NORMS[lang] for lang in _LANGS])
+_PROF_NORMSQ_ARR = np.array([_PROFILE_NORMSQ[lang] for lang in _LANGS],
+                            dtype=np.float64)
 
 
 def predict_langs_batch(texts: List[str]) -> List[str]:
@@ -92,7 +98,8 @@ def predict_langs_batch(texts: List[str]) -> List[str]:
         idx_c = np.minimum(idx, nv - 1)
         valid = _VOCAB_CODES[idx_c] == codes
         counts = np.bincount(idx_c[valid], minlength=nv)
-        scores = (_PROFILE_MAT @ counts) / _PROF_NORM_ARR
+        dot = _PROFILE_MAT @ counts  # exact integers in float64
+        scores = (dot * dot) / _PROF_NORMSQ_ARR
         out.append(_LANGS[int(np.argmax(scores))])
     return out
 
@@ -112,6 +119,53 @@ def langid_ngram(sf_dir: str):
 
     return ds.map_batches(run, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
+
+
+_PROF_ROWS = ", ".join(
+    f"('{lang}', '{tri}', {w})"
+    for lang in _LANGS for tri, w in sorted(_PROFILES[lang].items()))
+_NORMSQ_ROWS = ", ".join(
+    f"('{lang}', {_PROFILE_NORMSQ[lang]})" for lang in _LANGS)
+
+# Exact oracle for the profile classifier: each char-trigram window
+# that hits a profile entry contributes that entry's weight, so
+# dot(doc, profile) = SUM(w) over matched windows — integers end to
+# end; the score (dot²/normsq) involves ONE IEEE float division of
+# exact integers, identical in numpy and DuckDB, so even the argmax
+# ranking is bit-deterministic.  (Byte-level counting in the Ray path
+# equals char-level here because profile trigrams are pure ASCII and
+# UTF-8 continuation bytes can never alias them; the sf corpora are
+# ASCII.)
+LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS declared_lang,
+         '  ' || lower(substring(text, 1, 2000)) || '  ' AS s
+  FROM documents
+),
+win AS (
+  SELECT doc_id, substring(s, CAST(i AS INT), 3) AS tri
+  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i FROM t)
+),
+prof(plang, tri, w) AS (VALUES {_PROF_ROWS}),
+normsq(plang, ns) AS (VALUES {_NORMSQ_ROWS}),
+dots AS (
+  SELECT win.doc_id, p.plang, CAST(SUM(p.w) AS BIGINT) AS dot
+  FROM win JOIN prof p ON win.tri = p.tri
+  GROUP BY win.doc_id, p.plang
+),
+ranked AS (
+  SELECT t.doc_id, t.declared_lang, n.plang,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY (CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                     * COALESCE(d.dot, 0)) / n.ns DESC,
+                    n.plang ASC) AS rk
+  FROM t CROSS JOIN normsq n
+  LEFT JOIN dots d ON d.doc_id = t.doc_id AND d.plang = n.plang
+)
+SELECT doc_id, declared_lang, plang AS pred_lang
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
 
 
 _STOP_ARR = pa.array(sorted(_STOP_SET), pa.string())
