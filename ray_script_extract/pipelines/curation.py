@@ -66,11 +66,20 @@ def sample_stratified(sf_dir: str, key: str = "lang",
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
+        out = pa.table({
             key: batch.column(key),
             "doc_id": batch.column("doc_id"),
             "__rk": pa.array(_rank_hash(ids), pa.uint64()),
         })
+        # batch-local pre-prune: the global per-stratum head is a
+        # top-n by (__rk, doc_id), and top-n distributes over blocks —
+        # so only ≤ n_per_key rows per stratum leave each task and the
+        # shuffle carries O(blocks · strata · n), not the full table
+        df = out.to_pandas().sort_values([key, "__rk", "doc_id"],
+                                         kind="stable")
+        head = df.groupby(key, sort=False).head(n_per_key)
+        return pa.Table.from_pandas(head, preserve_index=False) \
+            .cast(out.schema)
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, "__rk", "doc_id"], kind="stable")

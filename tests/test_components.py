@@ -74,3 +74,25 @@ def test_components_vs_recursive_cte_oracle():
     dist = dedup_components(sf_dir, force_distributed=True).to_pandas()
     assert dist[["doc_id", "component", "csize"]].values.tolist() == \
         got[["doc_id", "component", "csize"]].values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_distributed_50k_chains():
+    """Distributed label propagation at 50k nodes (10k chains of 5 —
+    4 propagation hops each) must match the vectorized driver path
+    and finish in seconds, not minutes (keyed-backbone guard)."""
+    import numpy as np
+
+    from ray_script_extract.pipelines.dedup import dedup_components
+
+    base = np.arange(10_000, dtype=np.int64) * 5
+    pairs = [(int(b + i), int(b + i + 1)) for b in base for i in range(4)]
+    src = _pairs_source(pairs)
+
+    fast = dedup_components("", pair_source=src).to_pandas()
+    dist = dedup_components("", pair_source=src,
+                            force_distributed=True).to_pandas()
+    assert (fast["component"].to_numpy()
+            == fast["doc_id"].to_numpy() // 5 * 5).all()
+    assert (fast["csize"] == 5).all()
+    assert dist.values.tolist() == fast.values.tolist()
