@@ -128,3 +128,15 @@ def image_stats_feature(arr: "np.ndarray", dim: int) -> "np.ndarray":
     vec = vec[:dim]
     n = np.linalg.norm(vec)
     return vec / n if n > 0 else vec
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an (H, W, C) uint8 image — the
+    standard model-input preprocessing step, pure numpy (source pixel
+    = floor(i * in/out), the classic nearest mapping)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]

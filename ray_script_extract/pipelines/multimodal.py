@@ -70,6 +70,9 @@ class MediaFeatureActor:
         payloads = batch.column("payload").to_pylist()
         types = batch.column("media_type").to_pylist()
 
+        from ..functions.imagecodec import resize_nearest
+        from ..functions.videocodec import decode_rawv
+
         def feat(ref: str, payload: bytes, mtype: str) -> np.ndarray:
             if payload:
                 try:
@@ -77,8 +80,20 @@ class MediaFeatureActor:
                         samples, rate = decode_wav(payload)
                         return audio_stats_feature(samples, rate,
                                                    FEATURE_DIM)
-                    return image_stats_feature(decode_image(payload),
-                                               FEATURE_DIM)
+                    if mtype == "video":
+                        # frame-sample every 2nd frame at the container
+                        # level, resize each to the model input size,
+                        # mean-pool per-frame features
+                        frames = decode_rawv(payload, frame_step=2)
+                        if not frames:
+                            raise ValueError("empty video")
+                        per = [image_stats_feature(
+                                   resize_nearest(f, 8, 8), FEATURE_DIM)
+                               for f in frames]
+                        return np.mean(per, axis=0)
+                    return image_stats_feature(
+                        resize_nearest(decode_image(payload), 8, 8),
+                        FEATURE_DIM)
                 except ValueError:
                     pass  # unsupported format → hash fallback
             return fake_feature(ref, payload or b"")
@@ -134,6 +149,19 @@ def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
                 raw = np.frombuffer((digest.digest() * 16)[:512],
                                     dtype="<i2")
                 payloads.append(encode_wav(raw, rate=8000))
+            elif did % 8 == 6:
+                from ..functions.videocodec import encode_rawv
+
+                refs.append(f"vid://sha256/{digest.hexdigest()}")
+                out_ids.append(f"doc-{did:08d}")
+                types.append("video")
+                # REAL decodable RAWV clip: 4 deterministic 8x8 frames
+                # (the frame-sample stage decodes every 2nd)
+                frames = [np.frombuffer(
+                    (hashlib.sha256(digest.digest()
+                                    + bytes([k])).digest() * 6)[:192],
+                    dtype=np.uint8).reshape(8, 8, 3) for k in range(4)]
+                payloads.append(encode_rawv(frames))
         return pa.Table.from_arrays([
             pa.array(refs, pa.string()),
             pa.array(out_ids, pa.string()),
@@ -164,3 +192,53 @@ def media_features(sf_dir: str):
         })
 
     return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+class ThumbnailActor:
+    """Actor-pool resize stage: decode → nearest-neighbor resize →
+    re-encode PNG, emitting a content-addressed thumbnail ref — the
+    classic image-preprocessing leg of a multimodal pipeline (rows-only
+    correctness: codec output, not SQL-expressible)."""
+
+    def __init__(self, size: int = 4) -> None:
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
+        refs, ids, thumbs, sizes = [], [], [], []
+        for ref, did, payload in zip(batch.column("media_ref").to_pylist(),
+                                     batch.column("doc_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            png = encode_png(resize_nearest(decode_image(payload),
+                                            self.size, self.size))
+            refs.append(ref)
+            ids.append(did)
+            thumbs.append("thumb://sha256/"
+                          + hashlib.sha256(png).hexdigest())
+            sizes.append(len(png))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "thumb_ref": pa.array(thumbs, pa.string()),
+            "thumb_bytes": pa.array(sizes, pa.int64()),
+        })
+
+
+def media_thumbnails(sf_dir: str):
+    """Thumbnail pipeline over the corpus's image payloads."""
+    import pyarrow.compute as pc
+
+    def only_images(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("media_type"), "image"))
+
+    ds = media_refs_from_documents(sf_dir) \
+        .map_batches(only_images, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return ds.map_batches(ThumbnailActor, batch_format="pyarrow",
+                          concurrency=(1, 4), batch_size=64,
+                          zero_copy_batch=True).sort("doc_id")

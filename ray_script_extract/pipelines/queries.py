@@ -1049,7 +1049,7 @@ from .analytics import (  # noqa: E402
     scene_analysis,
     scene_stats,
 )
-from .multimodal import media_features  # noqa: E402
+from .multimodal import media_features, media_thumbnails  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     LANGID_SQL,
@@ -1090,6 +1090,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "langid_ngram": langid_ngram,
     "media_features": media_features,
+    "media_thumbnails": media_thumbnails,
     "character_dialog_counts": character_dialog_counts,
     "scene_stats": scene_stats,
     "scene_analysis": scene_analysis,

@@ -81,7 +81,8 @@ def test_media_pipeline_decodes_real_payloads():
     )
 
     media = media_refs_from_documents("/root/testdata/sf0.001")
-    row = media.take(1)[0]
+    row = next(r for r in media.take(8)
+               if r["media_type"] == "image")
     arr = decode_image(row["payload"])
     assert arr.shape == (8, 8, 3)
 
@@ -177,3 +178,54 @@ def test_scene_analysis_pipeline():
         "ActionVersusDialog.n_action", "ActionVersusDialog.n_dialogue",
         "DialogAverages.n_dialog_words", "DialogAverages.n_speeches"}
     assert (out["total"] > 0).all()
+
+
+def test_rawv_roundtrip_and_sampling():
+    """RAWV container: full decode round-trips; frame_step decodes
+    exactly every k-th frame."""
+    import numpy as np
+
+    from ray_script_extract.functions.videocodec import (
+        decode_rawv,
+        encode_rawv,
+    )
+
+    frames = [np.full((4, 6, 3), i, np.uint8) for i in range(6)]
+    payload = encode_rawv(frames)
+    assert [f.mean() for f in decode_rawv(payload)] == [0, 1, 2, 3, 4, 5]
+    assert [f.mean() for f in decode_rawv(payload, frame_step=3)] == [0, 3]
+
+
+def test_resize_nearest_known_values():
+    import numpy as np
+
+    from ray_script_extract.functions.imagecodec import resize_nearest
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    down = resize_nearest(img, 4, 4)
+    assert np.array_equal(down, img[::2][:, ::2])
+    assert np.array_equal(resize_nearest(img, 8, 8), img)  # identity
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_includes_video_rows():
+    """Video refs flow through the frame-sample leg of the actor."""
+    from ray_script_extract.pipelines.multimodal import media_features
+
+    out = media_features("/root/testdata/sf0.001").to_pandas()
+    assert out["media_ref"].str.startswith("vid://").any()
+    assert (out["feature_dim"] == 32).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_thumbnails():
+    """Decode → resize → re-encode round trip; thumbnails are
+    content-addressed and deterministic."""
+    from ray_script_extract.pipelines.multimodal import media_thumbnails
+
+    a = media_thumbnails("/root/testdata/sf0.001").to_pandas()
+    assert len(a) > 0
+    assert a["thumb_ref"].str.startswith("thumb://sha256/").all()
+    assert (a["thumb_bytes"] > 0).all()
+    b = media_thumbnails("/root/testdata/sf0.001").to_pandas()
+    assert a.values.tolist() == b.values.tolist()
