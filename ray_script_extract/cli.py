@@ -41,6 +41,14 @@ def main(argv=None) -> int:
     p_query.add_argument("name")
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_export = sub.add_parser(
+        "export", help="resumable curated training-set export "
+                       "(quality filter → keep-best dedup → "
+                       "partitioned parquet + lineage)")
+    p_export.add_argument("--sf-dir", required=True)
+    p_export.add_argument("--output", required=True)
+    p_export.add_argument("--num-partitions", type=int, default=32)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "convert":
@@ -71,6 +79,12 @@ def main(argv=None) -> int:
                     args.num_docs, args.output, seed=args.seed,
                     docs_per_shard=args.docs_per_shard)
             print(json.dumps(summary))
+        elif args.cmd == "export":
+            from .pipelines.curation import export_curated
+
+            print(json.dumps(export_curated(
+                args.sf_dir, args.output,
+                num_partitions=args.num_partitions)))
         elif args.cmd == "query":
             from .pipelines.queries import QUERIES
 

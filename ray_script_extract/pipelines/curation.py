@@ -250,3 +250,76 @@ SELECT lang, COUNT(*) AS kept_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM kept WHERE rk = 1
 GROUP BY lang ORDER BY lang
 """.format(stop_list=_STOP_SQL_LIST)
+
+
+def export_curated(sf_dir: str, output_dir: str,
+                   num_partitions: int = 32) -> dict:
+    """Resumable curated-training-set export: quality filter →
+    keep-best exact dedup → partitioned parquet under ``output_dir``,
+    one directory + verified lineage record per hash partition
+    (``stages/lineage.py`` — same atomic write/fsync/checksum contract
+    as the extraction sink; never one giant file).
+
+    The winning rows must physically reach their output partition, so
+    the text ships through the ONE dedup shuffle (minimal movement:
+    keep-best retains most docs, so a separate winners⨝text join-back
+    would re-shuffle nearly the same bytes a second time).  Resume
+    recomputes the deterministic upstream (same data → same partitions
+    → same fragment keys) and SKIPS every partition whose lineage
+    re-verifies — the two-phase-job resume shape.
+    """
+    from ..stages.lineage import completed_partitions, write_partition
+    from .joins import _partition_ids
+
+    done = set(completed_partitions(output_dir))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def score_filter(batch: pa.Table) -> pa.Table:
+        n_tokens, n_stop, n_long = quality_metrics(batch.column("text"))
+        denom = np.maximum(n_tokens, 1)
+        ok = ((n_tokens >= 5)
+              & (np.floor(100.0 * n_stop / denom) <= 40)
+              & (np.floor(100.0 * n_long / denom) <= 50))
+        kept = batch.filter(pa.array(ok))
+        kept = kept.append_column(
+            "fp", pa.array(_fingerprints(kept.column("text")), pa.string()))
+        return kept.append_column(
+            "__gp", pa.array(_partition_ids(kept.select(["fp"]), ["fp"],
+                                            num_partitions), pa.int64()))
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        pid = int(df["__gp"].iloc[0])
+        from ..stages.lineage import fragment_key
+        descriptor = f"curated:{sf_dir}:p{pid}/{num_partitions}"
+        key = fragment_key(descriptor)
+        if key in done:
+            return pd.DataFrame({"pid": [pid], "rows": [0],
+                                 "skipped": [1]})
+        best = (df.sort_values(["fp", "n_chars", "doc_id"],
+                               ascending=[True, False, True],
+                               kind="stable")
+                  .groupby("fp", sort=False).head(1)
+                  .sort_values("doc_id"))
+        table = pa.Table.from_pandas(
+            best[["doc_id", "lang", "text", "n_chars"]],
+            preserve_index=False)
+        write_partition(output_dir, key, table, descriptor,
+                        metrics={"rows": len(best)})
+        return pd.DataFrame({"pid": [pid], "rows": [len(best)],
+                             "skipped": [0]})
+
+    summary = (ds.map_batches(score_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("__gp")
+                 .map_groups(write_group, batch_format="pandas")
+                 .to_pandas())  # ≤ num_partitions rows
+    return {
+        "partitions_total": int(len(summary)),
+        "partitions_skipped": int(summary["skipped"].sum()),
+        "rows_written": int(summary["rows"].sum()),
+    }

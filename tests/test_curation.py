@@ -138,3 +138,72 @@ def test_rank_hash_matches_duckdb(tmp_path):
         f"SELECT md5_number_lower(CAST({int(i)} AS VARCHAR))").fetchone()[0]
         for i in ids]
     assert [int(x) for x in ours] == [int(x) for x in theirs]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_curated_resumable(tmp_path):
+    """Partitioned curated export: verified lineage per partition,
+    exact resume (only the tampered partition is rewritten), and the
+    union of partitions equals the SQL winners set."""
+    import glob
+    import json
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.curation import export_curated
+
+    sf_dir = _write_corpus(tmp_path)
+    out_dir = str(tmp_path / "curated")
+    s1 = export_curated(sf_dir, out_dir, num_partitions=8)
+    assert s1["partitions_skipped"] == 0 and s1["rows_written"] > 0
+
+    parts = sorted(glob.glob(out_dir + "/part-*/data.parquet"))
+    assert len(parts) >= 2  # partitioned output, not one giant file
+    got = pd.concat([pq.read_table(p).to_pandas() for p in parts]) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    oracle = con.sql("""
+      WITH m AS (
+        SELECT *, regexp_extract_all(lower(text), '\\S+') AS toks
+        FROM documents
+      ), q AS (
+        SELECT doc_id, lang, text, n_chars,
+               len(toks) AS nt,
+               len(list_filter(toks, x -> x IN
+                 ('the','a','an','of','to','in','and','is','on','for'))) AS ns,
+               len(list_filter(toks, x -> length(x) >= 8)) AS nl
+        FROM m
+      ), ok AS (
+        SELECT doc_id, lang, text, n_chars FROM q
+        WHERE nt >= 5
+          AND FLOOR(100.0 * ns / GREATEST(nt, 1)) <= 40
+          AND FLOOR(100.0 * nl / GREATEST(nt, 1)) <= 50
+      )
+      SELECT doc_id, lang, text, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY n_chars DESC, doc_id) AS rk
+        FROM ok) WHERE rk = 1 ORDER BY doc_id
+    """).df()
+    assert got[["doc_id", "lang", "text", "n_chars"]].values.tolist() == \
+        oracle.values.tolist()
+
+    # full resume: everything skips
+    s2 = export_curated(sf_dir, out_dir, num_partitions=8)
+    assert s2["rows_written"] == 0
+    assert s2["partitions_skipped"] == s2["partitions_total"]
+
+    # tamper one partition → exactly that one is rewritten
+    victim = sorted(glob.glob(out_dir + "/part-*/_LINEAGE.json"))[0]
+    rec = json.load(open(victim))
+    import os
+    os.remove(victim)
+    s3 = export_curated(sf_dir, out_dir, num_partitions=8)
+    assert s3["partitions_skipped"] == s3["partitions_total"] - 1
+    rec2 = json.load(open(victim))
+    assert rec2["checksum"] == rec["checksum"]  # deterministic rewrite
