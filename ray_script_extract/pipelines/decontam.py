@@ -1,0 +1,174 @@
+"""Benchmark decontamination: flag training documents that share
+word-shingle n-grams with a held-out benchmark/eval set — the standard
+train/test-overlap scrub in LLM data pipelines (GPT-3 appendix C's
+13-gram filter, The Pile / FineWeb decontamination passes).
+
+No reference counterpart (the reference is a one-doc converter,
+`/root/reference/src/parser/analyzer/Parser.php`); this extends the
+dedup family (`pipelines/dedup.py`) with the asymmetric variant: a
+SMALL trusted set vs a HUGE corpus.
+
+Scale shape (the whole point of the operator):
+
+* the benchmark side is tiny BY CONSTRUCTION — eval suites are
+  thousands of docs, not billions — so its distinct-shingle hash set
+  is collected once, sorted, and **broadcast via ``ray.put``** (one
+  object-store copy per node, zero-copy numpy view in every task),
+  never shuffled and never re-shipped per batch;
+* the corpus side streams through ONE ``map_batches`` pass: per-batch
+  unique-shingle hashing (memoized md5, same oracle-pinned convention
+  as minhash), membership via ``np.searchsorted`` against the sorted
+  broadcast array, per-doc distinct-hit counts via ``np.bincount``.
+  No shuffle at all — the only all-to-all is the final doc_id sort of
+  the (small) contaminated subset;
+* ``_BENCH_HASH_CAP`` guards the broadcast assumption: a benchmark
+  side too big to broadcast should go through the partitioned
+  shuffle-join path (``dedup.py::_join_back``) instead, and the
+  operator refuses loudly rather than silently thrashing the driver.
+
+Shingle + hash conventions are shared with ``dedup_minhash_lsh``
+(k-word shingles, ``md5_number_lower % 2^31-1``) so the DuckDB oracle
+is EXACT, not rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _P31, _SHINGLE_HASH_CACHE, _doc_shingles, _hash_unique
+
+# doc_id % _BENCH_MOD == 0 → benchmark member.  A deterministic,
+# content-independent split keeps the operator self-contained on the
+# sf tables (and SQL-replicable); a real deployment passes its eval
+# suite as a separate table feeding the same `_bench_hash_set`.
+_BENCH_MOD = 20
+# ~400 MB of int64 hashes — far beyond any real eval suite; above
+# this the broadcast design is wrong and we say so.
+_BENCH_HASH_CAP = 50_000_000
+
+
+def _doc_distinct_shingle_hashes(texts: "list[str]", k: int = 3):
+    """Per-doc DISTINCT shingle hashes for a whole batch, vectorized:
+    one unique-string hash pass over the batch (memoized md5 — the
+    cache amortizes across dup-heavy corpora, see
+    ``dedup._hash_unique``), then per-doc distinctness via one
+    ``np.unique`` over packed (doc_idx << 31 | hash) keys.
+
+    Returns ``(doc_idx, hashes)`` flat arrays, doc_idx ascending.
+    """
+    per_doc = [_doc_shingles(t, k=k) for t in texts]
+    counts = np.array([len(p) for p in per_doc], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for p in per_doc:
+        flat[pos:pos + len(p)] = p
+        pos += len(p)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = _hash_unique(uniq, _SHINGLE_HASH_CACHE, mod=_P31)
+    hashes = uh[inv]
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    packed = np.unique((doc_idx << 31) | hashes)  # hash < 2^31
+    return packed >> 31, packed & ((1 << 31) - 1)
+
+
+def _bench_hash_set(sf_dir: str, k: int = 3) -> np.ndarray:
+    """Sorted distinct shingle hashes of the benchmark slice.
+
+    Distributed scan emits per-batch-distinct hashes only (a few KB
+    per batch); the final global distinct runs on the driver over the
+    concatenation — bounded by the benchmark's vocabulary, which is
+    small by construction (cap-guarded)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def batch_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % _BENCH_MOD == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.int64())})
+        texts = batch.filter(pa.array(sel)) \
+                     .column("text").to_pylist()
+        _, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        return pa.table({"h": pa.array(np.unique(hashes), pa.int64())})
+
+    df = ds.map_batches(batch_hashes, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    out = np.unique(df["h"].to_numpy())
+    if len(out) > _BENCH_HASH_CAP:
+        raise ValueError(
+            f"benchmark shingle set ({len(out)}) exceeds the broadcast "
+            f"budget ({_BENCH_HASH_CAP}); a set this large should join "
+            f"through dedup.py's partitioned shuffle path instead")
+    return out
+
+
+def decontaminate_ngrams(sf_dir: str, k: int = 3):
+    """Contaminated training docs: ``(doc_id, n_hits)`` where
+    ``n_hits`` is the count of DISTINCT k-word shingles the doc shares
+    with the benchmark slice (doc_id % 20 == 0), sorted by doc_id.
+    Downstream drops these rows (or anything above an n_hits budget)
+    before training-set export."""
+    bench_ref = ray.put(_bench_hash_set(sf_dir, k=k))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()  # by-value-pickled closure: see package doc
+        bench = ray.get(bench_ref)  # zero-copy object-store view
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % _BENCH_MOD != 0
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if not sel.any():
+            return empty
+        kept = batch.filter(pa.array(sel))
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = kept.column("text").to_pylist()
+        doc_idx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) == 0 or len(bench) == 0:
+            return empty
+        pos = np.searchsorted(bench, hashes)
+        pos[pos == len(bench)] = 0  # sentinel; verified below
+        hit = bench[pos] == hashes
+        n_hits = np.bincount(doc_idx[hit], minlength=len(texts))
+        contaminated = np.flatnonzero(n_hits)
+        return pa.table({
+            "doc_id": pa.array(ids[contaminated], pa.int64()),
+            "n_hits": pa.array(n_hits[contaminated], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+DECONTAM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+h AS (
+  SELECT doc_id, CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h FROM sh
+),
+bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 20 = 0),
+train AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id % 20 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM train JOIN bench USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1110,6 +1110,9 @@ from .curation import (  # noqa: E402
     sample_stratified,
 )
 
+from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
+
+QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
@@ -1148,6 +1151,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "decontaminate_ngrams": DECONTAM_SQL,
     "langid_ngram": LANGID_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks

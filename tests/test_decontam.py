@@ -1,0 +1,79 @@
+"""Benchmark decontamination vs its DuckDB oracle on a crafted corpus
+with KNOWN contamination: training docs that quote benchmark shingles
+verbatim, paraphrases that share no 3-word shingle, and sub-3-word
+docs (single-shingle path)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _write_corpus(tmp_path) -> str:
+    import pyarrow.parquet as pq
+
+    # doc_id % 20 == 0 → benchmark member (decontam._BENCH_MOD)
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",   # bench
+        20: "four score and seven years ago our fathers brought",    # bench
+        1: "he saw the quick brown fox jumps over a fence",          # 3 hit shingles
+        2: "completely unrelated text about gardening and soil",     # clean
+        3: "quick brown fox",                                        # 1 shingle, hit
+        4: "lazy dog",                                               # <3 words, no hit
+        5: "four score and seven years ago our fathers brought",     # full dup of 20
+        6: "fox brown quick",                                        # reordered → clean
+    }
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(t, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_matches_oracle(tmp_path):
+    import duckdb
+
+    from ray_script_extract.pipelines.decontam import (
+        DECONTAM_SQL, decontaminate_ngrams)
+
+    sf_dir = _write_corpus(tmp_path)
+    got = decontaminate_ngrams(sf_dir).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.sql(DECONTAM_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert dict(got.dtypes) == dict(want.dtypes)
+
+    # the crafted expectations, independent of the oracle
+    by_id = dict(zip(got["doc_id"], got["n_hits"]))
+    # doc 1 shares "the quick brown" / "quick brown fox" /
+    # "brown fox jumps" / "fox jumps over"
+    assert by_id[1] == 4
+    assert by_id[3] == 1        # single-shingle doc
+    assert by_id[5] == 7        # verbatim 9-word dup → 7 shingles
+    assert 2 not in by_id and 4 not in by_id and 6 not in by_id
+    assert 0 not in by_id and 20 not in by_id  # bench rows never emitted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bench_set_is_distinct_and_sorted(tmp_path):
+    from ray_script_extract.pipelines.decontam import _bench_hash_set
+
+    sf_dir = _write_corpus(tmp_path)
+    h = _bench_hash_set(sf_dir)
+    assert len(h) == len(np.unique(h))
+    assert (np.diff(h) > 0).all()
+    # 10-word + 9-word bench docs → 8 + 7 distinct shingles
+    assert len(h) == 15
