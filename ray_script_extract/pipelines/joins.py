@@ -121,6 +121,8 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           num_partitions: int | None = None,
                           how: str = "inner",
                           dedupe_left: bool = False,
+                          pre_left: Callable[[pd.DataFrame],
+                                             pd.DataFrame] | None = None,
                           post: Callable[[pd.DataFrame],
                                          pd.DataFrame] | None = None,
                           left_schema: "pa.Schema | None" = None,
@@ -142,9 +144,13 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``dedupe_left`` drops duplicate left rows inside each partition
     BEFORE merging — correct globally whenever duplicates agree on the
     join key (they hash to the same partition), which lets callers
-    fuse a dedupe that would otherwise cost its own shuffle.  ``post``
-    runs on the merged pandas frame inside the same task (fuse a
-    verify/filter step instead of paying another stage).
+    fuse a dedupe that would otherwise cost its own shuffle.
+    ``pre_left`` runs on each partition's LEFT frame before the merge
+    — correct for any per-key reduction (same-key rows co-locate), so
+    a groupby-then-join on the SAME key fuses into ONE shuffle instead
+    of two back-to-back all-to-alls.  ``post`` runs on the merged
+    pandas frame inside the same task (fuse a verify/filter step
+    instead of paying another stage).
 
     Pass ``left_schema``/``right_schema`` (pa.Schema) whenever an
     input is a LAZY pipeline: ``Dataset.schema()`` on a lazy dataset
@@ -241,6 +247,8 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
         rdf = tbl.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
         if dedupe_left:
             ldf = ldf.drop_duplicates()
+        if pre_left is not None:
+            ldf = pre_left(ldf)
         merged = ldf.merge(rdf, left_on=left_on, right_on=right_on,
                            how=how)[out_cols]
         if how != "inner":

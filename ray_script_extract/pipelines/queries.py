@@ -46,34 +46,61 @@ def _cents_np(x: np.ndarray) -> np.ndarray:
 # Relational core (TPC-H-flavored)
 # ---------------------------------------------------------------------------
 
+def _batch_partial(t: pa.Table, keys: "list[str]",
+                   sums: "list[str]") -> pa.Table:
+    """Map-side combiner: collapse ONE Arrow batch to per-group
+    partial sums + a ``__n`` row count via Arrow's hash ``group_by``
+    (C++ kernels).  Ray 2.49's ``groupby().aggregate()`` runs a full
+    sort-shuffle of its INPUT rows even for a handful of groups —
+    measured 4.7 s of a 5 s q1 at sf0.1 — so every low-cardinality
+    aggregate pre-collapses each block to ≤ |groups| rows here and
+    lets the all-to-all move only partials.  At 100 TB this is the
+    difference between shuffling the table and shuffling KB."""
+    count_src = sums[0] if sums else keys[0]
+    g = t.group_by(keys).aggregate(
+        [(c, "sum") for c in sums] + [(count_src, "count")])
+    cols = {k: g.column(k) for k in keys}
+    for c in sums:
+        cols[c] = g.column(f"{c}_sum")
+    cols["__n"] = g.column(f"{count_src}_count")
+    return pa.table(cols)
+
+
 def q1_pricing_summary(sf_dir: str):
     """Pricing summary: groupby (returnflag, linestatus) with exact
-    integer-cents sums (vectorized per batch, partial-combined by Ray's
-    hash aggregation)."""
+    integer-cents sums.  Cents conversion AND the per-block partial
+    aggregate are fused into one map stage; the shuffle then carries
+    ≤ 6 rows per block instead of the full lineitem table."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
+    keys = ["l_returnflag", "l_linestatus"]
 
-    def add_cents(batch: pa.Table) -> pa.Table:
+    def cents_partial(batch: pa.Table) -> pa.Table:
         qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "qty_cents", pa.array(_cents_np(qty), pa.int64())
-        ).append_column(
-            "base_cents", pa.array(_cents_np(price), pa.int64())
-        ).append_column(
-            "disc_cents", pa.array(_cents_np(price * (1.0 - disc)), pa.int64()))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_cents": pa.array(_cents_np(qty), pa.int64()),
+            "base_cents": pa.array(_cents_np(price), pa.int64()),
+            "disc_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                   pa.int64()),
+        })
+        return _batch_partial(t, keys, ["qty_cents", "base_cents",
+                                        "disc_cents"])
 
-    out = (ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["l_returnflag", "l_linestatus"])
+    out = (ds.map_batches(cents_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(keys)
              .aggregate(
                  Sum("qty_cents", alias_name="sum_qty_cents"),
                  Sum("base_cents", alias_name="sum_base_cents"),
                  Sum("disc_cents", alias_name="sum_disc_cents"),
-                 Count(alias_name="count_order"),
+                 Sum("__n", alias_name="count_order"),
              )
-             .sort(["l_returnflag", "l_linestatus"]))
+             .sort(keys))
     return out
 
 
@@ -93,38 +120,46 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _q3_revenue(sf_dir: str):
+    """Lineitem → per-block-combined (l_orderkey, revenue_cents)
+    partials + the orders side.  The per-order reduce is NOT finished
+    here — it finishes inside the join partition (``pre_left``), so
+    q3 pays ONE all-to-all on l_orderkey instead of a groupby shuffle
+    followed by a join shuffle on the same key."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def add_rev(batch: pa.Table) -> pa.Table:
+    def add_rev_partial(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        return pa.table({
+        t = pa.table({
             "l_orderkey": batch.column("l_orderkey"),
-            "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+            "revenue_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                      pa.int64()),
         })
+        # in-block combine (~4 lineitems/order on key-clustered input)
+        g = t.group_by(["l_orderkey"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue_cents"])
 
-    from .joins import groupby_agg_partitioned
-
-    # l_orderkey is high-cardinality (~1 group per 4 rows): use the
-    # partitioned pandas reduce instead of the native aggregate
-    rev = (groupby_agg_partitioned(
-               li.map_batches(add_rev, batch_format="pyarrow",
-                              zero_copy_batch=True),
-               ["l_orderkey"], {"rev_cents": "sum"})
-           .map_batches(lambda b: b.rename_columns(
-               ["l_orderkey", "revenue_cents"]), batch_format="pyarrow"))
+    rev = li.map_batches(add_rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     return rev, orders
 
 
+def _q3_finish_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+    return df.groupby("l_orderkey", as_index=False, sort=False) \
+             .agg({"revenue_cents": "sum"})
+
+
 def q3_top_orders(sf_dir: str):
     """Top-10 orders by revenue: large⨝large partitioned shuffle join
-    (task-only hash_join_via_groupby) then sort+limit."""
+    (task-only hash_join_via_groupby) with the per-order revenue
+    reduce fused into the join partition, then sort+limit."""
     from .joins import hash_join_via_groupby
 
     rev, orders = _q3_revenue(sf_dir)
     joined = hash_join_via_groupby(
         rev, orders, "l_orderkey", "o_orderkey",
+        pre_left=_q3_finish_reduce,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("revenue_cents", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -143,7 +178,14 @@ def q3_top_orders_native(sf_dir: str):
     """Same query via Ray Data's built-in hash join (aggregator actor
     pool) — kept as the API-parity variant; ~15 s actor-pool cold
     start per run on this sandbox."""
+    from .joins import groupby_agg_partitioned
+
     rev, orders = _q3_revenue(sf_dir)
+    # _q3_revenue now returns per-BLOCK partials (the task-pool twin
+    # finishes the reduce inside its join); the native join has no
+    # pre-merge hook, so finish the per-order sum first
+    rev = groupby_agg_partitioned(rev, ["l_orderkey"],
+                                  {"revenue_cents": "sum"})
     joined = rev.join(orders, join_type="inner", num_partitions=8,
                       on=("l_orderkey",), right_on=("o_orderkey",))
     out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
@@ -363,9 +405,12 @@ WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
 
 
 def distinct_part_types(sf_dir: str):
-    """Distinct (set op): unique part types with counts."""
+    """Distinct (set op): unique part types with counts — per-block
+    partial counts, then a ≤ |types|-row shuffle."""
     ds = _read(sf_dir, "part", ["p_type"])
-    return (ds.groupby("p_type").aggregate(Count(alias_name="n_parts"))
+    return (ds.map_batches(lambda b: _batch_partial(b, ["p_type"], []),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("p_type").aggregate(Sum("__n", alias_name="n_parts"))
               .sort("p_type"))
 
 
@@ -412,11 +457,15 @@ def union_key_accounts(sf_dir: str):
     def tag(role: str, key_col: str, nat_col: str, bal_col: str):
         def fn(batch: pa.Table) -> pa.Table:
             bal = batch.column(bal_col).to_numpy(zero_copy_only=False)
-            return pa.table({
+            t = pa.table({
                 "role": pa.array([role] * len(batch), pa.string()),
                 "nationkey": pc.cast(batch.column(nat_col), pa.int64()),
                 "acctbal_cents": pa.array(_cents_np(bal), pa.int64()),
             })
+            # per-block partial: the union + shuffle move ≤ 25 rows
+            # per block, not every account row
+            return _batch_partial(t, ["role", "nationkey"],
+                                  ["acctbal_cents"])
         return fn
 
     unioned = cust.map_batches(tag("customer", "c_custkey", "c_nationkey",
@@ -425,7 +474,7 @@ def union_key_accounts(sf_dir: str):
                                               "s_nationkey", "s_acctbal"),
                                           batch_format="pyarrow"))
     return (unioned.groupby(["role", "nationkey"])
-                   .aggregate(Count(alias_name="n_accounts"),
+                   .aggregate(Sum("__n", alias_name="n_accounts"),
                               Sum("acctbal_cents", alias_name="total_bal_cents"))
                    .sort(["role", "nationkey"]))
 
@@ -460,17 +509,43 @@ def _events_with_cents(sf_dir: str):
 
 def events_by_type(sf_dir: str):
     """count / exact value sum / distinct users per event type.
-    Distinct via two-level aggregation (pre-shrunk on (type,user))."""
+    Distinct-user counting without a full-table sort-shuffle: per-block
+    partial on (type, user) pairs → ONE hash shuffle on the pair key
+    (``hash_partitioned_map``, so a pair never spans two partitions and
+    per-partition user counts ADD) → per-partition vectorized pandas
+    reduce → constant-size final aggregate."""
+    from .joins import hash_partitioned_map
+
     ds = _events_with_cents(sf_dir)
-    per_user = (ds.groupby(["event_type", "user_id"])
-                  .aggregate(Count(alias_name="n"),
-                             Sum("value_cents", alias_name="vc")))
-    out = (per_user.groupby("event_type")
-                   .aggregate(Sum("n", alias_name="n_events"),
-                              Sum("vc", alias_name="total_value_cents"),
-                              Count(alias_name="n_users"))
-                   .sort("event_type"))
-    return out
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "user_id": batch.column("user_id"),
+            "value_cents": batch.column("value_cents"),
+        })
+        return _batch_partial(t, ["event_type", "user_id"],
+                              ["value_cents"])
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        pu = (df.groupby(["event_type", "user_id"], as_index=False,
+                         sort=False)
+                .agg({"value_cents": "sum", "__n": "sum"}))
+        return (pu.groupby("event_type", as_index=False, sort=False)
+                  .agg(n_events=("__n", "sum"),
+                       total_value_cents=("value_cents", "sum"),
+                       n_users=("user_id", "count")))
+
+    part = hash_partitioned_map(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "user_id"], per_partition)
+    return (part.groupby("event_type")
+                .aggregate(Sum("n_events", alias_name="n_events"),
+                           Sum("total_value_cents",
+                               alias_name="total_value_cents"),
+                           Sum("n_users", alias_name="n_users"))
+                .sort("event_type"))
 
 
 EVENTS_BY_TYPE_SQL = """
@@ -485,13 +560,19 @@ FROM events GROUP BY event_type ORDER BY event_type
 def daily_event_counts(sf_dir: str):
     ds = _events_with_cents(sf_dir)
 
-    def add_day(batch: pa.Table) -> pa.Table:
-        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
-        return batch.append_column("day", day)
+    def add_day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            "event_type": batch.column("event_type"),
+            "value_cents": batch.column("value_cents"),
+        })
+        # ≤ |days × types| rows per block leave the map stage
+        return _batch_partial(t, ["day", "event_type"], ["value_cents"])
 
-    out = (ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.map_batches(add_day_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
              .groupby(["day", "event_type"])
-             .aggregate(Count(alias_name="n_events"),
+             .aggregate(Sum("__n", alias_name="n_events"),
                         Sum("value_cents", alias_name="total_value_cents"))
              .sort(["day", "event_type"]))
     return out
