@@ -330,34 +330,43 @@ def top_brands_by_revenue(sf_dir: str):
     driver-materialized: lineitem is pre-reduced per partkey (one row
     per part survives), joined to part via the partitioned shuffle
     join, then re-aggregated over the tiny brand domain."""
-    from .joins import groupby_agg_partitioned, hash_join_via_groupby
+    from .joins import hash_join_via_groupby
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def cents(batch: pa.Table) -> pa.Table:
+    def cents_partial(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        return pa.table({
+        t = pa.table({
             "l_partkey": batch.column("l_partkey"),
             "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
-            "n_items": pa.array(np.ones(len(batch), np.int64), pa.int64()),
         })
+        # __n doubles as the per-part lineitem count (= n_items)
+        return _batch_partial(t, ["l_partkey"], ["rev_cents"])
 
-    li_pre = groupby_agg_partitioned(
-        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
-        ["l_partkey"], {"rev_cents": "sum", "n_items": "sum"})
+    def finish_per_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("l_partkey", as_index=False, sort=False) \
+                 .agg({"rev_cents": "sum", "__n": "sum"})
+
+    def brand_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        # ≤ |brands| rows leave each join partition
+        return df.groupby("p_brand", as_index=False, sort=False) \
+                 .agg({"rev_cents": "sum", "__n": "sum"})
 
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = hash_join_via_groupby(
-        li_pre, part, "l_partkey", "p_partkey",
+        li.map_batches(cents_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        part, "l_partkey", "p_partkey",
+        pre_left=finish_per_part, post=brand_partial,
         left_schema=pa.schema([("l_partkey", pa.int64()),
                                ("rev_cents", pa.int64()),
-                               ("n_items", pa.int64())]),
+                               ("__n", pa.int64())]),
         right_schema=pa.schema([("p_partkey", pa.int64()),
                                 ("p_brand", pa.string())]))
     out = (joined.groupby("p_brand")
                  .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
-                            Sum("n_items", alias_name="n_items"))
+                            Sum("__n", alias_name="n_items"))
                  .sort("p_brand"))
     return out
 
@@ -1192,8 +1201,10 @@ from .curation import (  # noqa: E402
 )
 
 from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
+from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
 
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
+QUERIES["scrub_pii"] = scrub_pii
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
@@ -1233,6 +1244,7 @@ ORACLE_SQL: Dict[str, str] = {
     "curate_corpus": CURATE_CORPUS_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,
+    "scrub_pii": SCRUB_PII_SQL,
     "langid_ngram": LANGID_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
