@@ -1202,9 +1202,11 @@ from .curation import (  # noqa: E402
 
 from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
 from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
+from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
+QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
@@ -1245,6 +1247,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,
     "scrub_pii": SCRUB_PII_SQL,
+    "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
