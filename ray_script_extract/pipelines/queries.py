@@ -1143,8 +1143,10 @@ from .multimodal import media_features, media_thumbnails  # noqa: E402
 from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     LANGID_SQL,
+    REPETITION_SQL,
     WINNOW_SQL,
     doc_quality,
+    doc_repetition_signals,
     doc_winnow_fingerprints,
     langid_ngram,
 )
@@ -1204,6 +1206,7 @@ from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
 from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
 from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
+QUERIES["doc_repetition_signals"] = doc_repetition_signals
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
@@ -1249,6 +1252,7 @@ ORACLE_SQL: Dict[str, str] = {
     "scrub_pii": SCRUB_PII_SQL,
     "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,
+    "doc_repetition_signals": REPETITION_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
 }

@@ -360,3 +360,183 @@ sel AS (
 )
 SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+# Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+# from Training Gopher" (2021), Appendix A: repetitious documents are
+# low-quality training data; the published filters measure the
+# fraction of duplicate lines and the coverage of the most frequent
+# word n-gram.  Everything here is integer counts + floor-percentages
+# so the DuckDB oracle (REPETITION_SQL) is exact.
+#
+# Definitions (replicated verbatim in SQL):
+#   lines       = text split on '\n', EMPTY LINES EXCLUDED, case kept
+#   n_dup_lines = n_lines - count(distinct lines)   (excess occurrences)
+#   dup_line_chars = sum over line values of (occurrences-1)*len(line)
+#   bigrams     = adjacent pairs of lowercased \S+ tokens, joined by ' '
+#   top_bigram  = most frequent bigram, ties broken lexicographically
+#   *_pct       = floor(100 * x / max(denominator, 1))
+
+import pandas as pd  # noqa: E402  (module-level: used by batch fns)
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(doc_ids)
+
+    # --- duplicate-line counts (vectorized split + one pandas groupby)
+    lines = pc.split_pattern(texts, pattern="\n")
+    seg = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lines)
+    docix = np.repeat(np.arange(n, dtype=np.int64), seg)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = lens > 0
+    ldf = pd.DataFrame({
+        "d": docix[nonempty],
+        "line": np.asarray(flat.to_numpy(zero_copy_only=False))[nonempty],
+        "ln": lens[nonempty],
+    })
+    grp = ldf.groupby(["d", "line"], sort=False) \
+        .agg(c=("ln", "size"), ln=("ln", "first")).reset_index()
+    n_lines = np.zeros(n, np.int64)
+    n_dup = np.zeros(n, np.int64)
+    dup_chars = np.zeros(n, np.int64)
+    if len(grp):
+        per = grp.groupby("d", sort=False).agg(
+            total=("c", "sum"), distinct=("c", "size"))
+        # (c-1)*len summed per doc — computed vectorized, not via agg
+        grp["excess_chars"] = (grp["c"] - 1) * grp["ln"]
+        dsum = grp.groupby("d", sort=False)["excess_chars"].sum()
+        idx = per.index.to_numpy(np.int64)
+        n_lines[idx] = per["total"].to_numpy(np.int64)
+        n_dup[idx] = (per["total"] - per["distinct"]).to_numpy(np.int64)
+        dup_chars[dsum.index.to_numpy(np.int64)] = \
+            dsum.to_numpy(np.int64)
+
+    # --- top word-bigram (same \S+-on-lower tokenization as
+    # doc_quality; empty edge tokens dropped so it matches DuckDB's
+    # regexp_extract_all)
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    tseg = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tflat = pc.list_flatten(toks)
+    tdoc = np.repeat(np.arange(n, dtype=np.int64), tseg)
+    tvalid = pc.not_equal(tflat, "").to_numpy(zero_copy_only=False)
+    words = np.asarray(tflat.to_numpy(zero_copy_only=False))[tvalid]
+    wdoc = tdoc[tvalid]
+    n_toks = np.bincount(wdoc, minlength=n).astype(np.int64)
+    n_bigrams = np.maximum(n_toks - 1, 0)
+    top_bigram = np.full(n, "", dtype=object)
+    top_count = np.zeros(n, np.int64)
+    if len(words) > 1:
+        same_doc = wdoc[:-1] == wdoc[1:]
+        bdf = pd.DataFrame({
+            "d": wdoc[:-1][same_doc],
+            "bg": (pd.Series(words[:-1][same_doc], dtype=object) + " "
+                   + pd.Series(words[1:][same_doc], dtype=object)).to_numpy(),
+        })
+        if len(bdf):
+            bc = bdf.groupby(["d", "bg"], sort=False).size() \
+                .reset_index(name="c")
+            bc = bc.sort_values(["d", "c", "bg"],
+                                ascending=[True, False, True],
+                                kind="stable").drop_duplicates("d")
+            bidx = bc["d"].to_numpy(np.int64)
+            top_bigram[bidx] = bc["bg"].to_numpy()
+            top_count[bidx] = bc["c"].to_numpy(np.int64)
+
+    dup_line_pct = np.floor(100.0 * n_dup / np.maximum(n_lines, 1)) \
+        .astype(np.int64)
+    top_bigram_pct = np.floor(100.0 * top_count
+                              / np.maximum(n_bigrams, 1)).astype(np.int64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_dup_lines": pa.array(n_dup, pa.int64()),
+        "dup_line_chars": pa.array(dup_chars, pa.int64()),
+        "dup_line_pct": pa.array(dup_line_pct, pa.int64()),
+        "n_bigrams": pa.array(n_bigrams, pa.int64()),
+        "top_bigram": pa.array(top_bigram.tolist(), pa.string()),
+        "top_bigram_count": pa.array(top_count, pa.int64()),
+        "top_bigram_pct": pa.array(top_bigram_pct, pa.int64()),
+    })
+
+
+def doc_repetition_signals(sf_dir: str):
+    """Per-document repetition/quality signals (Gopher Appendix-A
+    family): duplicate-line counts and most-frequent-word-bigram
+    coverage.  Shuffle-free — every signal is per-document, so this
+    is ONE streaming map_batches over (doc_id, text); at 100 TB it
+    is embarrassingly parallel with no exchange.  Exact DuckDB
+    oracle (REPETITION_SQL)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(_repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, text FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t
+),
+lg AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+  FROM lines WHERE line <> '' GROUP BY doc_id, line
+),
+lstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_lines,
+         CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM t
+),
+tstats AS (
+  SELECT doc_id, GREATEST(len(tk) - 1, 0) AS n_bigrams FROM toks
+),
+tok2 AS (
+  SELECT doc_id,
+         tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] AS bg
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+),
+big AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM tok2 GROUP BY doc_id, bg
+),
+topb AS (
+  SELECT doc_id, bg, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, bg ASC) AS rk
+  FROM big
+)
+SELECT t.doc_id,
+       COALESCE(l.n_lines, 0) AS n_lines,
+       COALESCE(l.n_dup_lines, 0) AS n_dup_lines,
+       COALESCE(l.dup_line_chars, 0) AS dup_line_chars,
+       CAST(FLOOR(100.0 * COALESCE(l.n_dup_lines, 0)
+                  / GREATEST(COALESCE(l.n_lines, 0), 1)) AS BIGINT)
+         AS dup_line_pct,
+       CAST(ts.n_bigrams AS BIGINT) AS n_bigrams,
+       COALESCE(tb.bg, '') AS top_bigram,
+       COALESCE(CAST(tb.c AS BIGINT), 0) AS top_bigram_count,
+       CAST(FLOOR(100.0 * COALESCE(tb.c, 0)
+                  / GREATEST(ts.n_bigrams, 1)) AS BIGINT)
+         AS top_bigram_pct
+FROM t
+LEFT JOIN lstats l ON l.doc_id = t.doc_id
+LEFT JOIN tstats ts ON ts.doc_id = t.doc_id
+LEFT JOIN topb tb ON tb.doc_id = t.doc_id AND tb.rk = 1
+ORDER BY t.doc_id
+"""
