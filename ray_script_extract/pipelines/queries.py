@@ -1144,11 +1144,13 @@ from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     LANGID_SQL,
     REPETITION_SQL,
+    TFIDF_SQL,
     WINNOW_SQL,
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
     langid_ngram,
+    tfidf_top_terms,
 )
 
 QUERIES: Dict[str, Callable] = {
@@ -1207,6 +1209,7 @@ from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
 from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
 QUERIES["doc_repetition_signals"] = doc_repetition_signals
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
@@ -1253,6 +1256,7 @@ ORACLE_SQL: Dict[str, str] = {
     "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,
     "doc_repetition_signals": REPETITION_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
 }

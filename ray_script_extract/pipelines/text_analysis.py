@@ -540,3 +540,196 @@ LEFT JOIN tstats ts ON ts.doc_id = t.doc_id
 LEFT JOIN topb tb ON tb.doc_id = t.doc_id AND tb.rk = 1
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (inverted document frequency, integer-quantized)
+# ---------------------------------------------------------------------------
+# Scoring: score = tf * ((N * 10^6) // df)  — a log-free idf variant
+# (raw N/df, floor-quantized to an integer) chosen so BOTH engines
+# rank in exact integer arithmetic: any ln()-based idf would make the
+# cross-engine ordering depend on libm rounding at ties.  Monotonicity
+# in tf and 1/df — the property that makes idf ranking meaningful —
+# is preserved.  Ties break lexicographically by term.
+#
+# Scale shape: per-doc tf is batch-local (a document is one row, so
+# no shuffle).  The df table is VOCAB-sized, not corpus-sized; under
+# `_VOCAB_BROADCAST_ROWS` it is collected once and shipped via
+# ray.put (one tiny groupby shuffle total, top-k stays in-batch).
+# Above the budget — unbounded web vocab — the join path shuffles tf
+# rows by term and re-shuffles by doc_id for the top-k (2 exchanges,
+# both on the keyed-op backbone).
+
+_TFIDF_K = 5
+_IDF_SCALE = 1_000_000
+_VOCAB_BROADCAST_ROWS = 2_000_000  # ~32 MB of (term, df) — ray.put budget
+
+
+def _tf_batch(batch: pa.Table) -> pa.Table:
+    """Explode a documents batch into per-doc term counts
+    (doc_id, term, tf) — tokenization identical to doc_quality
+    (\\S+ over lower(), empty edge tokens dropped)."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+    seg = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    docix = np.repeat(np.arange(len(doc_ids), dtype=np.int64), seg)
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    import pandas as pd
+    df = pd.DataFrame({
+        "doc_id": doc_ids[docix[valid]],
+        "term": np.asarray(flat.to_numpy(zero_copy_only=False))[valid],
+    })
+    tf = df.groupby(["doc_id", "term"], sort=False).size() \
+        .reset_index(name="tf")
+    return pa.table({
+        "doc_id": pa.array(tf["doc_id"].to_numpy(np.int64), pa.int64()),
+        "term": pa.array(tf["term"].tolist(), pa.string()),
+        "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def _topk_frame(df: "pd.DataFrame", k: int) -> "pd.DataFrame":
+    """Per-doc top-k by (score desc, term asc) with rank column —
+    vectorized across all docs in the frame."""
+    df = df.sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True], kind="stable")
+    df["rk"] = df.groupby("doc_id", sort=False).cumcount() + 1
+    return df[df["rk"] <= k].reset_index(drop=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
+                    force_join: bool = False):
+    """Top-k TF-IDF terms per document (integer-quantized idf — see
+    module comment).  Output: (doc_id, term, tf, df, score, rk).
+
+    Hybrid like dedup_components: vocab-bounded broadcast df (the
+    common case — vocab ≪ corpus) vs a two-exchange partitioned join
+    for unbounded vocab (`force_join` pins the scale path in tests).
+    Exact DuckDB oracle: TFIDF_SQL."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n_docs = docs.count()
+    tf_rows = docs.map_batches(_tf_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # df: per-batch partial counts (vocab-sized per batch), then one
+    # small groupby-sum — the exploded tf rows are never shuffled for
+    # this aggregate
+    def partial_df(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({"term": t.column("term").to_pylist()})
+        c = pdf.groupby("term", sort=False).size().reset_index(name="c")
+        return pa.table({
+            "term": pa.array(c["term"].tolist(), pa.string()),
+            "c": pa.array(c["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    df_tbl = groupby_agg_partitioned(
+        tf_rows.map_batches(partial_df, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["term"], {"c": "sum"}).materialize()
+    vocab_rows = df_tbl.count()
+
+    if vocab_rows <= _VOCAB_BROADCAST_ROWS and not force_join:
+        # bounded by the budget check — not an unbounded driver read
+        # empty partitions come back as schema-less blocks (documented
+        # Ray 2.49 footgun) — drop them before concat
+        tabs = [t for t in ray.get(df_tbl.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            }))
+        vdf = pa.concat_tables(tabs).to_pandas() \
+            .sort_values("term", kind="stable")
+        terms_sorted = vdf["term"].to_numpy()
+        idf_q = ((np.int64(n_docs) * _IDF_SCALE)
+                 // vdf["c"].to_numpy(np.int64))
+        handle = ray.put((terms_sorted, idf_q,
+                          vdf["c"].to_numpy(np.int64)))
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            ts, iq, dfc = ray.get(handle)
+            tf_b = _tf_batch(batch)
+            pdf = tf_b.to_pandas()
+            pos = np.searchsorted(ts, pdf["term"].to_numpy())
+            pdf["df"] = dfc[pos]
+            pdf["score"] = pdf["tf"].to_numpy(np.int64) * iq[pos]
+            out = _topk_frame(pdf, k)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return docs.map_batches(score_topk, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .sort(["doc_id", "rk"])
+
+    # ---- scale path: partition tf rows AND df rows by term ----------
+    tf_tagged = tf_rows.map_batches(
+        lambda t: t.append_column("df", pa.array(
+            np.zeros(len(t), np.int64), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    df_tagged = df_tbl.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+            "term": t.column("term"),
+            "tf": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "df": t.column("c"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    idf_n = np.int64(n_docs) * _IDF_SCALE
+
+    def join_score(part: pd.DataFrame) -> pd.DataFrame:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        left = part[part["doc_id"] >= 0][["doc_id", "term", "tf"]]
+        right = part[part["doc_id"] < 0][["term", "df"]]
+        m = left.merge(right, on="term", how="inner")
+        m["score"] = m["tf"].to_numpy(np.int64) \
+            * (idf_n // m["df"].to_numpy(np.int64))
+        return m
+
+    scored = hash_partitioned_map(tf_tagged.union(df_tagged), ["term"],
+                                  join_score)
+    return hash_partitioned_map(scored, ["doc_id"],
+                                lambda d: _topk_frame(d, k)) \
+        .sort(["doc_id", "rk"])
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ((n.nn * {_IDF_SCALE}) // dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_TFIDF_K} ORDER BY doc_id, rk
+"""
