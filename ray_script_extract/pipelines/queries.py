@@ -1144,12 +1144,14 @@ from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     LANGID_SQL,
     REPETITION_SQL,
+    SHARED_PASSAGES_SQL,
     TFIDF_SQL,
     WINNOW_SQL,
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
     langid_ngram,
+    shared_passages,
     tfidf_top_terms,
 )
 
@@ -1210,6 +1212,7 @@ from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
 QUERIES["doc_repetition_signals"] = doc_repetition_signals
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
+QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
@@ -1257,6 +1260,7 @@ ORACLE_SQL: Dict[str, str] = {
     "langid_ngram": LANGID_SQL,
     "doc_repetition_signals": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "shared_passages": SHARED_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
 }

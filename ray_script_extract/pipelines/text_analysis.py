@@ -733,3 +733,114 @@ ranked AS (
 SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {_TFIDF_K} ORDER BY doc_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Shared passages (MOSS-style cross-document substring duplicates)
+# ---------------------------------------------------------------------------
+# Schleimer/Wilkerson/Aiken's winnowing guarantees any shared
+# substring of length >= k+w-1 contributes at least one common
+# fingerprint, so grouping the winnow table by fp and pairing within
+# groups finds substring-level (not whole-doc) duplication — the MOSS
+# pipeline.  Two MOSS conventions are load-bearing at scale and
+# replicated in the oracle:
+#   * fingerprints appearing in more than `max_df` documents are
+#     DISCARDED (boilerplate/common-phrase noise — and the cap is what
+#     bounds the per-group pair blowup: <= max_df^2/2 pairs per fp);
+#   * pairs must share at least `min_shared` fingerprints.
+
+_PASSAGE_MAX_DF = 50
+_PASSAGE_MIN_SHARED = 2
+
+
+def shared_passages(sf_dir: str, max_df: int = _PASSAGE_MAX_DF,
+                    min_shared: int = _PASSAGE_MIN_SHARED):
+    """Document pairs sharing >= min_shared winnow fingerprints:
+    (id_a, id_b, n_shared).  Substring-level near-dup complement to
+    the set-level minhash family.
+
+    Scale shape: distinct (doc_id, fp) is batch-local (a doc is one
+    row); ONE shuffle co-locates each fp's postings, the df cap
+    bounds within-group pairing, and a second keyed reduce sums the
+    per-fp partial pair counts.  Exact DuckDB oracle
+    (SHARED_PASSAGES_SQL) reuses the winnow CTE."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def doc_fps(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_doc, out_fp = [], []
+        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
+            fps = np.unique(_winnow_doc(text)[:, 1])
+            out_doc.append(np.full(len(fps), did, np.int64))
+            out_fp.append(fps)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc) if out_doc
+                               else np.array([], np.int64), pa.int64()),
+            "fp": pa.array(np.concatenate(out_fp) if out_fp
+                           else np.array([], np.int64), pa.int64()),
+        })
+
+    postings = ds.map_batches(doc_fps, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cnt = df.groupby("fp", sort=False)["doc_id"].transform("size")
+        df = df[(cnt >= 2) & (cnt <= max_df)]
+        m = df.merge(df, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
+            .size().reset_index(name="n")
+        return pd.DataFrame({
+            "id_a": out["doc_id_x"].to_numpy(np.int64),
+            "id_b": out["doc_id_y"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+        })
+
+    partial = hash_partitioned_map(postings, ["fp"], pair_partial)
+    summed = groupby_agg_partitioned(partial, ["id_a", "id_b"],
+                                     {"n": "sum"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("n"), min_shared)
+        t = t.filter(keep)
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "n_shared": t.column("n"),
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort(["id_a", "id_b"])
+
+
+SHARED_PASSAGES_SQL = f"""
+WITH fps AS (
+{WINNOW_SQL.replace("ORDER BY doc_id, pos", "")}
+),
+dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+good AS (
+  SELECT fp FROM dfp GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {_PASSAGE_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dfp a
+  JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN good g ON g.fp = a.fp
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs GROUP BY id_a, id_b
+HAVING COUNT(*) >= {_PASSAGE_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
