@@ -921,3 +921,86 @@ SELECT doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS csize
 FROM labels ORDER BY doc_id
 """
+
+
+def dedup_near_keep_best(sf_dir: str, pair_source=None):
+    """Full near-dedup policy: minhash pairs → transitive clusters
+    (``dedup_components``) → keep ONE doc per cluster (longest by
+    n_chars, tie → min doc_id); docs in no near-dup pair are their
+    own singleton cluster and kept.  Output one row per document:
+    (doc_id, component, csize, keep) — the curation decision table a
+    training-set export filters on.
+
+    Scale shape: the component table only contains docs that appear
+    in some pair (a small fraction of the corpus); the documents scan
+    carries (doc_id, n_chars) only — never text — through one
+    partitioned left join + one keyed winner-selection reduce.  Exact
+    recursive-CTE DuckDB oracle (DEDUP_NEAR_KEEP_BEST_SQL)."""
+    from .joins import hash_join_via_groupby, hash_partitioned_map
+
+    comp = dedup_components(sf_dir, pair_source=pair_source)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    joined = hash_join_via_groupby(
+        docs, comp, "doc_id", "doc_id", how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_chars", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("component", pa.int64()),
+                                ("csize", pa.int64())]))
+
+    def pick_winners(df: pd.DataFrame) -> pd.DataFrame:
+        # nulls were resolved upstream — plain int64 columns here
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "component": df["component"].to_numpy(np.int64),
+            "csize": df["csize"].to_numpy(np.int64),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+        })
+        out = out.sort_values(["component", "n_chars", "doc_id"],
+                              ascending=[True, False, True], kind="stable")
+        out["keep"] = (out.groupby("component", sort=False).cumcount()
+                       == 0).astype(np.int64)
+        return out[["doc_id", "component", "csize", "keep"]]
+
+    # singletons have NULL component after the left join — resolve to
+    # their own doc_id BEFORE the component shuffle so each cluster
+    # (incl. singletons) lands whole in one partition
+    def resolve_nulls(t: pa.Table) -> pa.Table:
+        component = pc.coalesce(t.column("component"), t.column("doc_id"))
+        csize = pc.coalesce(t.column("csize"),
+                            pa.scalar(1, pa.int64()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "component": component,
+            "csize": csize,
+        })
+
+    resolved = joined.map_batches(resolve_nulls, batch_format="pyarrow")
+    return hash_partitioned_map(resolved, ["component"], pick_winners) \
+        .sort("doc_id")
+
+
+DEDUP_NEAR_KEEP_BEST_SQL = f"""
+WITH comp AS (
+{DEDUP_COMPONENTS_SQL}
+),
+all_docs AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         COALESCE(c.csize, 1) AS csize,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, component, csize,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM all_docs
+)
+SELECT doc_id, component, CAST(csize AS BIGINT) AS csize,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ranked ORDER BY doc_id
+"""

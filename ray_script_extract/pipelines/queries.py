@@ -1126,11 +1126,13 @@ ORDER BY id_a, id_b
 
 from .dedup import (  # noqa: E402
     DEDUP_COMPONENTS_SQL,
-    dedup_components,
+    DEDUP_NEAR_KEEP_BEST_SQL,
     MINHASH_LSH_SQL,
     NGRAM_JACCARD_SQL,
     SIMHASH_SQL,
+    dedup_components,
     dedup_minhash_lsh,
+    dedup_near_keep_best,
     dedup_ngram_jaccard,
     dedup_simhash,
 )
@@ -1220,6 +1222,7 @@ QUERIES["sample_stratified"] = sample_stratified
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
 QUERIES["dedup_components"] = dedup_components
+QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -1254,6 +1257,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_near_keep_best": DEDUP_NEAR_KEEP_BEST_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "pack_context_windows": PACK_WINDOWS_SQL,
