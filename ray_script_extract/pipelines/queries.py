@@ -1194,9 +1194,14 @@ QUERIES: Dict[str, Callable] = {
     "scene_analysis": scene_analysis,
 }
 
-from .similarity import knn_cosine_ivf, near_dup_embeddings_lsh  # noqa: E402
+from .similarity import (  # noqa: E402
+    knn_cosine_ivf,
+    knn_cosine_sq8,
+    near_dup_embeddings_lsh,
+)
 
 QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
+QUERIES["knn_cosine_sq8"] = knn_cosine_sq8
 QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
 
 from .curation import (  # noqa: E402

@@ -403,3 +403,132 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
                                  left_schema=wa_schema,
                                  right_schema=side_schema("b_")) \
         .sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (compressed-index scale path)
+# ---------------------------------------------------------------------------
+# Per-dimension affine int8 quantization (the FAISS "SQ8" codec,
+# public: Johnson/Douze/Jégou, "Billion-scale similarity search with
+# GPUs", 2017): x_d ≈ mn_d + (code_d + 128) * (mx_d - mn_d)/255.
+# The index holds ONE byte per dimension instead of a 4-byte float —
+# a 4× object-store/memory cut, which is what makes the embedding
+# table of a 10^12-doc corpus scannable.  Search is asymmetric
+# (query stays float):
+#     q · decode(c) = Σ_d q_d·mn_d  +  (q ⊙ scale) · (c + 128)
+# i.e. a constant per query plus one int8→float matvec per batch.
+
+
+def _sq8_bounds(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Global per-dimension min/max of the NORMALIZED vectors in one
+    streaming pass: each batch collapses to a single (mn, mx) row, the
+    driver reduces ≤ num_blocks rows."""
+    def minmax(batch: pa.Table) -> pa.Table:
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).tolist()]),
+            "mx": pa.array([m.max(axis=0).tolist()]),
+        })
+
+    parts = _read_emb(sf_dir).map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    mn = np.vstack(parts["mn"].to_numpy()).min(axis=0)
+    mx = np.vstack(parts["mx"].to_numpy()).max(axis=0)
+    # guard degenerate dims (constant value) against zero scale
+    mx = np.where(mx - mn < 1e-12, mn + 1e-12, mx)
+    return mn, mx
+
+
+def build_sq8_index(sf_dir: str, mn: np.ndarray, mx: np.ndarray):
+    """Quantize the embedding table to (vec_id, code: binary, dnorm):
+    one byte/dim codes + the decoded-vector norm used to re-normalize
+    scores at search time.  Streaming map_batches — the float table is
+    never materialized."""
+    scale = (mx - mn) / 255.0
+    bc = ray.put((mn, scale))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        mn, scale = ray.get(bc)
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        codes = np.clip(np.round((m - mn) / scale), 0, 255) \
+            .astype(np.uint8)
+        decoded = mn + codes.astype(np.float64) * scale
+        dnorm = np.linalg.norm(decoded, axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code": pa.array([codes[i].tobytes() for i in range(len(codes))],
+                             pa.binary()),
+            "dnorm": pa.array(dnorm, pa.float64()),
+        })
+
+    return _read_emb(sf_dir).map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_cosine_sq8(sf_dir: str, n_queries: int = 4, k: int = 5):
+    """Approximate cosine top-k over the SQ8-compressed index —
+    same output contract as `knn_cosine` (query_id, vec_id, rank);
+    approximate by quantization → rows-only correctness, recall vs
+    the brute-force twin asserted in tests/test_similarity.py.
+
+    Scale shape: the scan touches 1 byte/dim; per batch the score for
+    ALL queries is one (codes+0) uint8→float matmul against the
+    (dim × n_queries) prepared matrix plus a per-query constant."""
+    mn, mx = _sq8_bounds(sf_dir)
+    scale = (mx - mn) / 255.0
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # asymmetric-distance pieces: per-query constant + scaled query
+    q_const = q_norm @ mn                       # (n_queries,)
+    q_scaled = (q_norm * scale).T               # (dim, n_queries)
+    bc = ray.put((q_ids, q_const, q_scaled))
+    dim = len(mn)
+
+    index = build_sq8_index(sf_dir, mn, mx)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        q_ids, q_const, q_scaled = ray.get(bc)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        code_buf = b"".join(batch.column("code").to_pylist())
+        codes = np.frombuffer(code_buf, np.uint8).reshape(-1, dim)
+        dnorm = batch.column("dnorm").to_numpy(zero_copy_only=False)
+        sims = (codes.astype(np.float64) @ q_scaled
+                + q_const) / dnorm[:, None]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = np.round(sims[:, qi], 4)
+            mask = vec_ids != q_ids[qi]
+            v, s = vec_ids[mask], s[mask]
+            top = np.lexsort((v, -s))[:k]
+            out_q.append(np.full(len(top), q_ids[qi], np.int64))
+            out_v.append(v[top])
+            out_s.append(s[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    scored = index.map_batches(scan, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    from .joins import hash_partitioned_map
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        return df[["query_id", "vec_id", "rank"]]
+
+    return hash_partitioned_map(scored, ["query_id"], topk) \
+        .sort(["query_id", "rank"])

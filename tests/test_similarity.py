@@ -85,3 +85,38 @@ def test_embedding_lsh_buckets_never_hit_cap():
     _, counts = np.unique(keys.ravel(), return_counts=True)
     assert counts.max() <= _BUCKET_CAP // 2, \
         f"hot bucket {counts.max()} too close to cap {_BUCKET_CAP}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sq8_recall_vs_bruteforce():
+    """SQ8 is a much finer approximation than IVF probing (quantizes
+    values, drops nothing), so hold it to a higher recall bar."""
+    from ray_script_extract.pipelines.queries import knn_cosine
+    from ray_script_extract.pipelines.similarity import knn_cosine_sq8
+
+    exact = knn_cosine(SF).to_pandas()
+    approx = knn_cosine_sq8(SF).to_pandas()
+    assert len(approx) == len(exact)
+    recall_hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall_hits += len(e & a)
+    recall = recall_hits / len(exact)
+    assert recall >= 0.9, f"SQ8 recall too low: {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sq8_codes_are_one_byte_per_dim():
+    from ray_script_extract.pipelines.similarity import (
+        _embedding_dim,
+        _sq8_bounds,
+        build_sq8_index,
+    )
+
+    dim = _embedding_dim(SF)
+    mn, mx = _sq8_bounds(SF)
+    head = build_sq8_index(SF, mn, mx).take(3)
+    for row in head:
+        assert len(row["code"]) == dim  # 1 byte/dim — the 4x cut
+        assert 0.9 <= row["dnorm"] <= 1.1  # decode of a unit vector
