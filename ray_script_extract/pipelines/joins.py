@@ -260,3 +260,47 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+_BROADCAST_LOOKUP_ROWS = 5_000_000  # ~80 MB of (key, val) int64 pairs
+
+
+def broadcast_int_lookup(path: str, key_col: str, val_col: str,
+                         budget_rows: int = _BROADCAST_LOOKUP_ROWS):
+    """Budgeted broadcast of a small dimension: if the parquet
+    footer's row count fits ``budget_rows``, read (key, val), sort by
+    key and ship ONE (keys, vals) pair via ray.put — map tasks join
+    with a searchsorted instead of an all-to-all shuffle.  Returns
+    None when the dimension exceeds the budget (caller falls back to
+    the partitioned shuffle join).  The row count comes from parquet
+    METADATA — deciding the strategy costs no data I/O.
+
+    This is the hybrid the fact/dimension joins use: broadcast is
+    strictly better while the dimension fits a worker heap, and the
+    budget (not hope) is what keeps it legal at 100 TB, where e.g.
+    TPC-H customer outgrows any single node."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if pq.ParquetFile(path).metadata.num_rows > budget_rows:
+        return None
+    t = pq.read_table(path, columns=[key_col, val_col])
+    keys = np.asarray(t[key_col], dtype=np.int64)
+    vals = np.asarray(t[val_col], dtype=np.int64)
+    order = np.argsort(keys)
+    return ray.put((keys[order], vals[order]))
+
+
+def lookup_sorted(handle, probe: np.ndarray) -> np.ndarray:
+    """Map-side join probe against a broadcast_int_lookup handle:
+    vectorized searchsorted; missing keys raise (the callers join on
+    foreign keys with guaranteed referential integrity)."""
+    import ray
+
+    keys, vals = ray.get(handle)
+    pos = np.searchsorted(keys, probe)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    if not np.array_equal(keys[pos_c], probe):
+        raise KeyError("lookup_sorted: probe key missing from dimension")
+    return vals[pos_c]

@@ -210,20 +210,31 @@ LIMIT 10
 """
 
 
-def q5_region_revenue(sf_dir: str):
+def q5_region_revenue(sf_dir: str, force_shuffle: bool = False):
     """Revenue by region where customer and supplier share a nation.
-    Distributed shape: the SF-scaled tables (lineitem, orders,
-    supplier, customer) ALL move through partitioned shuffle joins —
-    nothing SF-scaled is ever a driver-side array (at TPC-H 100 TB
-    the customer key domain alone is tens of GB, so the round-2
-    dense-max-key maps were a driver scale-killer — VERDICT r2 #4).
-    Only nation (25 rows) and region (5) — constant-size by the spec —
-    ride along as plain closures.  lineitem is pre-reduced per
-    (orderkey, supplier-nation) right after the supplier join so the
-    orders join shuffles partial sums, not raw line items."""
+
+    HYBRID dimension strategy (``joins.broadcast_int_lookup``): when
+    supplier/customer fit the broadcast budget (parquet-metadata row
+    count, no data I/O to decide) their nationkey maps ship once via
+    ray.put and the joins happen map-side as searchsorted probes —
+    q5 then pays ONE all-to-all (lineitem⨝orders on orderkey) instead
+    of three.  Above the budget — TPC-H customer at 100 TB outgrows
+    any single node — both dimensions fall back to partitioned
+    shuffle joins; nothing SF-scaled is ever an UNBUDGETED driver
+    array (the round-2 dense-max-key maps were the scale-killer —
+    VERDICT r2 #4).  Only nation (25 rows) and region (5) —
+    constant-size by the spec — ride along as plain closures.
+    lineitem is pre-reduced per (orderkey, supplier-nation) before
+    the orders join so the shuffle carries partial sums, not raw
+    line items."""
     import pyarrow.parquet as pq
 
-    from .joins import groupby_agg_partitioned, hash_join_via_groupby
+    from .joins import (
+        broadcast_int_lookup,
+        groupby_agg_partitioned,
+        hash_join_via_groupby,
+        lookup_sorted,
+    )
 
     nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_regionkey"])
@@ -238,6 +249,11 @@ def q5_region_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
+    supp_handle = None if force_shuffle else broadcast_int_lookup(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    cust_handle = None if force_shuffle else broadcast_int_lookup(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+
     def cents(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
@@ -247,37 +263,76 @@ def q5_region_revenue(sf_dir: str):
             "rev_cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
         })
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-
     def pre_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
-        # fused combiner inside the supplier-join task: PARTIAL sums
-        # per (orderkey, supplier-nation) — partial is enough (the
-        # final region aggregate re-sums), and it shrinks the orders-
-        # join shuffle to ~one row per order without its own barrier
+        # fused combiner: PARTIAL sums per (orderkey, supplier-nation)
+        # — partial is enough (the final region aggregate re-sums),
+        # and it shrinks the orders-join shuffle to ~one row per order
         g = df.groupby(["l_orderkey", "s_nationkey"],
                        as_index=False)["rev_cents"].sum()
         return g.rename(columns={"s_nationkey": "s_nat"})
 
-    li_pre = hash_join_via_groupby(
-        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
-        supp, "l_suppkey", "s_suppkey", post=pre_reduce,
-        left_schema=pa.schema([("l_suppkey", pa.int64()),
-                               ("l_orderkey", pa.int64()),
-                               ("rev_cents", pa.int64())]),
-        right_schema=pa.schema([("s_suppkey", pa.int64()),
-                                ("s_nationkey", pa.int64())]))
+    if supp_handle is not None:
+        from .joins import lookup_sorted as _ls
+
+        def cents_with_nat(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            price = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "s_nat": pa.array(_ls(supp_handle, supp), pa.int64()),
+                "rev_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                      pa.int64()),
+            })
+            # in-block combine per (orderkey, nation)
+            g = t.group_by(["l_orderkey", "s_nat"]) \
+                .aggregate([("rev_cents", "sum")])
+            return g.rename_columns(["l_orderkey", "s_nat", "rev_cents"])
+
+        li_pre = li.map_batches(cents_with_nat, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        li_pre = hash_join_via_groupby(
+            li.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            supp, "l_suppkey", "s_suppkey", post=pre_reduce,
+            left_schema=pa.schema([("l_suppkey", pa.int64()),
+                                   ("l_orderkey", pa.int64()),
+                                   ("rev_cents", pa.int64())]),
+            right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                    ("s_nationkey", pa.int64())]))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders_nat = hash_join_via_groupby(
-        orders, cust, "o_custkey", "c_custkey",
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_nationkey", pa.int64())])) \
-        .map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"])
-                     .rename_columns(["o_orderkey", "c_nat"]),
-                     batch_format="pyarrow")
+    if cust_handle is not None:
+        from .joins import lookup_sorted as _ls2
+
+        def orders_with_nat(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "c_nat": pa.array(_ls2(cust_handle, ck), pa.int64()),
+            })
+
+        orders_nat = orders.map_batches(orders_with_nat,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        orders_nat = hash_join_via_groupby(
+            orders, cust, "o_custkey", "c_custkey",
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())])) \
+            .map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"])
+                         .rename_columns(["o_orderkey", "c_nat"]),
+                         batch_format="pyarrow")
 
     def to_region(df: "pd.DataFrame") -> "pd.DataFrame":
         # fused into the join task: same-nation filter, the bounded
