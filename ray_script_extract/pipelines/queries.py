@@ -856,6 +856,117 @@ ORDER BY event_id
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def events_orders_range_join(sf_dir: str):
+    """Pure non-equi range (interval) join — a custom operator Ray
+    Data lacks: every event matched against ALL orders whose
+    ``o_orderdate`` falls within ±1 day of the event timestamp (no
+    equi key at all), folded to a per-event match count and integer
+    revenue total.
+
+    Scale shape — bucket TIME, not keys.  Both sides map to day
+    buckets (``floor(t / 1 day)``); each order is replicated into the
+    3 buckets its ±1-day influence window can touch (a CONSTANT 3×
+    replication, independent of N — never a cross join), and ONE
+    ``hash_partitioned_map`` shuffle on the bucket id co-locates every
+    event with exactly the orders it can match.  Inside a partition
+    the probe is fully vectorized: because the in-bucket offset of any
+    replicated date or window endpoint is bounded in ``[0, 4·DAY)``,
+    ``bucket·4·DAY + offset`` is an exact, monotonic int64 composite
+    key — the order side is sorted once per partition, each event's
+    inclusive window becomes two ``np.searchsorted`` probes, and the
+    revenue total is a prefix-sum difference.  No per-event, per-order
+    or per-bucket Python loop.  Skew is bounded: a bucket holds one
+    day of arrivals and hot days can be split further by shrinking the
+    bucket width without changing any other code.
+
+    The reference engine has no joins at all (`SURVEY.md §2.6`); this
+    extends the engine for training-data pipelines that align event
+    streams to document/order timelines."""
+    from .joins import hash_partitioned_map
+
+    events = _read(sf_dir, "events", ["event_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "side": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "bucket": pa.array(ts // _DAY_US, pa.int64()),
+            "t_us": pa.array(ts, pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "cents": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        })
+
+    def replicate_orders(t: pa.Table) -> pa.Table:
+        d_us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = _cents_np(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        n = len(t)
+        # one row per (order, touched bucket): day-1, day, day+1
+        rep_d = np.repeat(d_us, 3)
+        rep_c = np.repeat(cents, 3)
+        buckets = np.repeat(d_us // _DAY_US, 3) + np.tile(
+            np.array([-1, 0, 1], np.int64), n)
+        return pa.table({
+            "side": pa.array(np.ones(3 * n, np.int64), pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "t_us": pa.array(rep_d, pa.int64()),
+            "event_id": pa.array(np.full(3 * n, -1, np.int64), pa.int64()),
+            "cents": pa.array(rep_c, pa.int64()),
+        })
+
+    tagged = (events.map_batches(tag_events, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .union(orders.map_batches(replicate_orders,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["side"].to_numpy()
+        bucket = df["bucket"].to_numpy()
+        t_us = df["t_us"].to_numpy()
+        ev = side == 0
+        # composite (bucket, in-bucket offset) key: offsets of
+        # replicated dates lie in (-DAY, 2·DAY) and event window
+        # endpoints in [-DAY, 2·DAY), so "+DAY" rebases into
+        # [0, 3·DAY) ⊂ [0, 4·DAY) and bucket·4·DAY + offset is
+        # monotone lexicographic with no overflow (buckets are days
+        # since epoch: ~2e4 · 4·8.64e10 ≈ 7e15 ≪ 2^63).
+        base = bucket * (4 * _DAY_US) + (t_us - bucket * _DAY_US) + _DAY_US
+        okey = base[~ev]
+        order = np.argsort(okey, kind="stable")
+        okey = okey[order]
+        csum = np.concatenate(
+            [[0], np.cumsum(df["cents"].to_numpy()[~ev][order])])
+        lo = np.searchsorted(okey, base[ev] - _DAY_US, side="left")
+        hi = np.searchsorted(okey, base[ev] + _DAY_US, side="right")
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[ev],
+            "n_orders": (hi - lo).astype(np.int64),
+            "revenue_cents": (csum[hi] - csum[lo]).astype(np.int64),
+        })
+
+    return hash_partitioned_map(tagged, ["bucket"], probe).sort("event_id")
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT e.event_id,
+       COUNT(o.o_orderdate) AS n_orders,
+       CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents
+FROM events e
+LEFT JOIN orders o
+  ON o.o_orderdate BETWEEN e.ts - INTERVAL 1 DAY AND e.ts + INTERVAL 1 DAY
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
 def events_props_k_stats(sf_dir: str):
     """Semi-structured column: extract the JSON ``props`` payload's
     ``k`` field per event type — exact integers on both engines.  The
@@ -1229,6 +1340,7 @@ QUERIES: Dict[str, Callable] = {
     "event_value_percentiles": event_value_percentiles,
     "top_orders_per_priority": top_orders_per_priority,
     "events_rolling_sum3": events_rolling_sum3,
+    "events_orders_range_join": events_orders_range_join,
     "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
@@ -1301,6 +1413,7 @@ ORACLE_SQL: Dict[str, str] = {
     "event_value_percentiles": EVENT_PERCENTILES_SQL,
     "top_orders_per_priority": TOP_ORDERS_PER_PRIORITY_SQL,
     "events_rolling_sum3": EVENTS_ROLLING_SQL,
+    "events_orders_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
