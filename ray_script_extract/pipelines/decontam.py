@@ -22,9 +22,11 @@ Scale shape (the whole point of the operator):
   No shuffle at all — the only all-to-all is the final doc_id sort of
   the (small) contaminated subset;
 * ``_BENCH_HASH_CAP`` guards the broadcast assumption: a benchmark
-  side too big to broadcast should go through the partitioned
-  shuffle-join path (``dedup.py::_join_back``) instead, and the
-  operator refuses loudly rather than silently thrashing the driver.
+  side too big to broadcast automatically falls back to
+  ``_decontam_partitioned`` — a hash-partitioned semi-join on the
+  shingle hash (one pair shuffle + one small doc-level reduce) that
+  never materializes the set on the driver.  Both plans are pinned to
+  identical results in ``tests/test_decontam.py``.
 
 Shingle + hash conventions are shared with ``dedup_minhash_lsh``
 (k-word shingles, ``md5_number_lower % 2^31-1``) so the DuckDB oracle
@@ -34,6 +36,7 @@ is EXACT, not rows-only.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -102,20 +105,103 @@ def _bench_hash_set(sf_dir: str, k: int = 3) -> np.ndarray:
                         zero_copy_batch=True).to_pandas()
     out = np.unique(df["h"].to_numpy())
     if len(out) > _BENCH_HASH_CAP:
-        raise ValueError(
-            f"benchmark shingle set ({len(out)}) exceeds the broadcast "
-            f"budget ({_BENCH_HASH_CAP}); a set this large should join "
-            f"through dedup.py's partitioned shuffle path instead")
+        return None  # over the broadcast budget → partitioned path
     return out
 
 
-def decontaminate_ngrams(sf_dir: str, k: int = 3):
+def _shingle_pairs(sf_dir: str, k: int, bench_side: bool):
+    """Stream (h, doc_id) shingle-hash pairs for one side of the
+    split; the benchmark side collapses to batch-distinct hashes with
+    a ``doc_id = -1`` sentinel (its identity is irrelevant — only
+    membership matters)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = (ids % _BENCH_MOD == 0) if bench_side \
+            else (ids % _BENCH_MOD != 0)
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if not sel.any():
+            return empty
+        kept = batch.filter(pa.array(sel))
+        texts = kept.column("text").to_pylist()
+        doc_idx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) == 0:
+            return empty
+        if bench_side:
+            uniq = np.unique(hashes)
+            return pa.table({
+                "h": pa.array(uniq, pa.int64()),
+                "doc_id": pa.array(np.full(len(uniq), -1, np.int64),
+                                   pa.int64()),
+            })
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(hashes, pa.int64()),
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _decontam_partitioned(sf_dir: str, k: int = 3):
+    """Shuffle-join decontamination for benchmark sets too big to
+    broadcast: hash-partition BOTH sides' (shingle-hash, doc) pairs on
+    the hash, take per-partition membership vectorized, then one small
+    second reduce sums each doc's partial hit counts.  Two shuffles —
+    the first moves shingle pairs (bounded by corpus token count), the
+    second only the contaminated (doc_id, partial) rows."""
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    both = _shingle_pairs(sf_dir, k, bench_side=False).union(
+        _shingle_pairs(sf_dir, k, bench_side=True))
+    _EMPTY = {"doc_id": np.empty(0, np.int64),
+              "n_hits": np.empty(0, np.int64)}
+
+    def member(df):
+        is_bench = df["doc_id"].to_numpy() < 0
+        bench = np.unique(df["h"].to_numpy()[is_bench])
+        t_h = df["h"].to_numpy()[~is_bench]
+        if len(bench) == 0 or len(t_h) == 0:
+            return pd.DataFrame(_EMPTY)
+        pos = np.searchsorted(bench, t_h)
+        pos[pos == len(bench)] = 0  # sentinel; equality check below
+        hit = bench[pos] == t_h
+        if not hit.any():
+            return pd.DataFrame(_EMPTY)
+        counts = (pd.DataFrame({"doc_id":
+                                df["doc_id"].to_numpy()[~is_bench][hit]})
+                  .groupby("doc_id", as_index=False, sort=False)
+                  .size().rename(columns={"size": "n_hits"}))
+        counts["n_hits"] = counts["n_hits"].astype(np.int64)
+        return counts
+
+    partial = hash_partitioned_map(both, ["h"], member)
+    return groupby_agg_partitioned(
+        partial, ["doc_id"], {"n_hits": "sum"}).sort("doc_id")
+
+
+def decontaminate_ngrams(sf_dir: str, k: int = 3,
+                         force_partitioned: bool = False):
     """Contaminated training docs: ``(doc_id, n_hits)`` where
     ``n_hits`` is the count of DISTINCT k-word shingles the doc shares
     with the benchmark slice (doc_id % 20 == 0), sorted by doc_id.
     Downstream drops these rows (or anything above an n_hits budget)
-    before training-set export."""
-    bench_ref = ray.put(_bench_hash_set(sf_dir, k=k))
+    before training-set export.
+
+    Two physical plans, same result (pinned by
+    ``tests/test_decontam.py``): benchmark shingle set within the
+    broadcast budget → one ``ray.put`` + a shuffle-free streaming
+    membership pass; above it (or ``force_partitioned``) → the
+    hash-partitioned semi-join (``_decontam_partitioned``), which
+    never materializes the set anywhere."""
+    bench = None if force_partitioned else _bench_hash_set(sf_dir, k=k)
+    if bench is None:
+        return _decontam_partitioned(sf_dir, k=k)
+    bench_ref = ray.put(bench)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])

@@ -68,6 +68,23 @@ def test_decontaminate_matches_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_partitioned_plan_matches_broadcast(tmp_path):
+    """The over-budget fallback (hash-partitioned semi-join) must be
+    plan-equivalent to the broadcast path — same rows, same dtypes —
+    on a corpus with known contamination AND on the sf0.001 table."""
+    import pandas as pd
+
+    from ray_script_extract.pipelines.decontam import decontaminate_ngrams
+
+    for sf_dir in (_write_corpus(tmp_path), "/root/testdata/sf0.001"):
+        fast = decontaminate_ngrams(sf_dir).to_pandas()
+        slow = decontaminate_ngrams(sf_dir, force_partitioned=True)
+        slow = slow.to_pandas() if not isinstance(slow, pd.DataFrame) else slow
+        pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                      slow.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bench_set_is_distinct_and_sorted(tmp_path):
     from ray_script_extract.pipelines.decontam import _bench_hash_set
 
