@@ -1396,6 +1396,10 @@ QUERIES["curate_corpus"] = curate_corpus
 QUERIES["dedup_components"] = dedup_components
 QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
+from .sketches import word_frequency_sketch  # noqa: E402
+
+QUERIES["word_frequency_sketch"] = word_frequency_sketch
+
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,

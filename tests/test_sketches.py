@@ -1,0 +1,73 @@
+"""Misra–Gries heavy-hitter sketch: error-bound guarantees asserted
+against the exact counts, with capacity forced small enough that
+compression actually fires."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pytest
+
+
+def _exact_counts(sf_dir: str) -> "collections.Counter":
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        c.update(w for w in t.lower().split() if w)
+    return c
+
+
+def test_mg_compress_step():
+    from ray_script_extract.pipelines.sketches import _mg_compress
+
+    counts = np.array([10, 3, 7, 1, 1], np.int64)
+    keep, lowered, t = _mg_compress(counts, capacity=2)
+    # 3rd largest = 3 -> subtract 3, survivors 10->7, 7->4
+    assert t == 3
+    assert keep.tolist() == [True, False, True, False, False]
+    assert lowered.tolist() == [7, 4]
+    # no-op when under capacity
+    keep, lowered, t = _mg_compress(counts, capacity=5)
+    assert keep is None and t == 0 and lowered.tolist() == counts.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketch_bounds_vs_exact():
+    from ray_script_extract.pipelines.sketches import word_frequency_sketch
+
+    sf = "/root/testdata/sf0.001"
+    exact = _exact_counts(sf)
+    n_total = sum(exact.values())
+
+    # per-batch vocab on the synthetic table is ~31 distinct words;
+    # capacity=8 forces real compression in every batch
+    got = word_frequency_sketch(sf, k=20, capacity=8)
+    assert len(got) == 20
+    assert (got["count_lo"] <= got["count_hi"]).all()
+    eps = int(got["count_hi"].iloc[0] - got["count_lo"].iloc[0])
+    assert eps > 0  # compression fired at capacity=8
+
+    for _, row in got.iterrows():
+        true = exact[row["word"]]
+        assert row["count_lo"] <= true <= row["count_hi"], row["word"]
+
+    # the MG guarantee: every token with true count > E survives, so
+    # the true top token must be the sketch's top token whenever its
+    # lead over the runner-up exceeds E.
+    (w1, c1), (_, c2) = exact.most_common(2)
+    if c1 - c2 > eps:
+        assert got["word"].iloc[0] == w1
+
+    # with capacity >= full vocabulary the sketch is EXACT
+    big = word_frequency_sketch(sf, k=20, capacity=len(exact) + 1)
+    assert (big["count_lo"] == big["count_hi"]).all()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(big["word"], big["count_lo"])) == want
+
+    # per-step bound E <= sum over batches of N_b/capacity <= N/cap
+    # per batch; with B batches E <= B*N/cap — sanity ceiling only
+    assert eps <= n_total
