@@ -1396,9 +1396,13 @@ QUERIES["curate_corpus"] = curate_corpus
 QUERIES["dedup_components"] = dedup_components
 QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
-from .sketches import word_frequency_sketch  # noqa: E402
+from .sketches import (  # noqa: E402
+    approx_distinct_tokens,
+    word_frequency_sketch,
+)
 
 QUERIES["word_frequency_sketch"] = word_frequency_sketch
+QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,

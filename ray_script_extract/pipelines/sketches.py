@@ -40,6 +40,82 @@ import ray.data
 # produced by the whitespace tokenizer (tokens are \S+ runs).
 _EPS_KEY = "\x00eps"
 
+_HLL_P = 14  # 2^14 registers → σ ≈ 1.04/√m ≈ 0.8 % relative error
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (binary descent —
+    exact, unlike float log2 whose 52-bit mantissa rounds 2^k - ε up
+    across the power-of-two boundary)."""
+    w = w.copy()
+    n = np.zeros(w.shape, np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        high = (w >> np.uint64(shift)) != 0
+        n = np.where(high, n, n + shift)
+        w = np.where(high, w >> np.uint64(shift), w)
+    return np.where(w == 0, 64, n)
+
+
+def approx_distinct_tokens(sf_dir: str, p: int = _HLL_P):
+    """Approximate global distinct-token count via HyperLogLog
+    (Flajolet et al. 2007): one streaming pass, nothing
+    vocabulary-sized ever moves.
+
+    Shape: per batch, distinct tokens hash to uint64 (pandas' siphash
+    — no oracle pins this, so no md5 needed); the top ``p`` bits pick
+    a register and the leading-zero count of the rest is the rank.
+    Each batch emits only its NONZERO (register, rank) maxima — at
+    most 2^p rows — and register-max is the HLL merge, so one bounded
+    ``groupby_agg_partitioned(max)`` is the entire reduce; the driver
+    folds the ≤ 2^p final registers through the standard estimator
+    (linear counting below 2.5·m, raw harmonic mean above).  Accuracy
+    (within 3 % at high cardinality, near-exact in the linear-counting
+    regime) is asserted against exact distinct counts in
+    ``tests/test_sketches.py``."""
+    from .joins import groupby_agg_partitioned
+
+    m = 1 << p
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def registers(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        flat = words.combine_chunks().flatten() \
+            if isinstance(words, pa.ChunkedArray) else words.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        uniq = pc.unique(flat)
+        if len(uniq) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        h = pd.util.hash_array(uniq.to_numpy(zero_copy_only=False))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        rank = np.minimum(_clz64(w) + 1, 64 - p + 1)
+        # per-batch register max: one sort-free reduction
+        best = np.zeros(m, np.int64)
+        np.maximum.at(best, bucket, rank)
+        nz = np.flatnonzero(best)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rank": pa.array(best[nz], pa.int64())})
+
+    regs = groupby_agg_partitioned(
+        ds.map_batches(registers, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bucket"], {"rank": "max"}).to_pandas()
+
+    M = np.zeros(m, np.int64)
+    M[regs["bucket"].to_numpy()] = regs["rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-M.astype(np.float64)))
+    zeros = int((M == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting regime
+    else:
+        est = raw
+    return pd.DataFrame({"approx_distinct": [np.int64(round(est))],
+                         "n_registers": [np.int64(m)]})
+
 
 def _mg_compress(counts: np.ndarray, capacity: int):
     """One Misra–Gries decrement step: subtract the (capacity+1)-th

@@ -35,6 +35,53 @@ def test_mg_compress_step():
     assert keep is None and t == 0 and lowered.tolist() == counts.tolist()
 
 
+def test_clz64_exact():
+    from ray_script_extract.pipelines.sketches import _clz64
+
+    rng = np.random.default_rng(7)
+    w = rng.integers(0, 2**64, size=2000, dtype=np.uint64)
+    edges = np.array([0, 1, 2, (1 << 63), (1 << 63) - 1, 2**64 - 1],
+                     dtype=np.uint64)
+    w = np.concatenate([w, edges])
+    got = _clz64(w)
+    want = np.array([64 - int(x).bit_length() for x in w], np.int64)
+    assert (got == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_linear_counting_regime():
+    """sf0.001's vocabulary is far below 2.5·m — linear counting is
+    near-exact there."""
+    from ray_script_extract.pipelines.sketches import approx_distinct_tokens
+
+    sf = "/root/testdata/sf0.001"
+    exact = len(_exact_counts(sf))
+    est = int(approx_distinct_tokens(sf)["approx_distinct"].iloc[0])
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_high_cardinality_regime(tmp_path):
+    """300k distinct tokens pushes past 2.5·m into the raw-estimator
+    regime; HLL's σ at p=14 is ~0.8 %, so 3 % is a 3.7σ bound."""
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.sketches import approx_distinct_tokens
+
+    n_docs, per_doc = 100, 3000
+    texts = [" ".join(f"tok{d}_{i}" for i in range(per_doc))
+             for d in range(n_docs)]
+    pq.write_table(
+        __import__("pyarrow").table({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+        }), str(tmp_path / "documents.parquet"))
+    est = int(approx_distinct_tokens(str(tmp_path))
+              ["approx_distinct"].iloc[0])
+    exact = n_docs * per_doc
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_sketch_bounds_vs_exact():
     from ray_script_extract.pipelines.sketches import word_frequency_sketch
