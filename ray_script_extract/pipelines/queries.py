@@ -1404,6 +1404,10 @@ from .sketches import (  # noqa: E402
 QUERIES["word_frequency_sketch"] = word_frequency_sketch
 QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 
+from .clustering import cluster_embeddings  # noqa: E402
+
+QUERIES["cluster_embeddings"] = cluster_embeddings
+
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
