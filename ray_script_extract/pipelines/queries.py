@@ -1398,11 +1398,13 @@ QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
 from .sketches import (  # noqa: E402
     approx_distinct_tokens,
+    event_value_percentiles_sketch,
     word_frequency_sketch,
 )
 
 QUERIES["word_frequency_sketch"] = word_frequency_sketch
 QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
+QUERIES["event_value_percentiles_sketch"] = event_value_percentiles_sketch
 
 from .clustering import cluster_embeddings  # noqa: E402
 

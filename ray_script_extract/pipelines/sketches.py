@@ -130,6 +130,88 @@ def _mg_compress(counts: np.ndarray, capacity: int):
     return keep, counts[keep] - t, t
 
 
+def event_value_percentiles_sketch(sf_dir: str, s: int = 1024):
+    """Approximate per-type value percentiles with a mergeable
+    weighted-sample summary (the Manku–Rajagopalan–Lindsay collapse,
+    SIGMOD'98): the sketch twin of ``queries.event_value_percentiles``
+    for keys too hot to sort in one partition.
+
+    Per batch, each type's sorted values collapse to ≤ ``s`` points at
+    evenly spaced ranks, each carrying weight ``n/s`` — so at most
+    ``s`` rows per (batch, type) ever enter the shuffle no matter how
+    hot the key is.  One hash-partitioned shuffle on event_type
+    co-locates each type's summaries, and the weighted
+    percentile_disc analogue (smallest value whose cumulative weight
+    reaches ``p·W``) reads the answer straight out of the merged
+    summary.  Rank error is bounded by Σ_batches n_b(type)/s =
+    N_type/s; when every per-batch type count fits in ``s`` the
+    summary is the raw data and the result is EXACT — both regimes
+    asserted in ``tests/test_sketches.py`` against the exact twin."""
+    from .joins import hash_partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, types))
+        types, cents = types[order], cents[order]
+        uniq, starts = np.unique(types, return_index=True)
+        counts = np.diff(np.append(starts, len(types)))
+        out_t, out_v, out_w = [], [], []
+        # per-type loop is over the (small) type cardinality of ONE
+        # batch, never over rows; each iteration is vectorized
+        for t, st, n in zip(uniq, starts, counts):
+            if n <= s:
+                out_t.append(np.repeat(t, n))
+                out_v.append(cents[st:st + n])
+                out_w.append(np.ones(n, np.float64))
+            else:
+                pos = st + ((np.arange(s) + 0.5) * n / s).astype(np.int64)
+                out_t.append(np.repeat(t, s))
+                out_v.append(cents[pos])
+                out_w.append(np.full(s, n / s, np.float64))
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t), pa.string()),
+            "cents": pa.array(np.concatenate(out_v), pa.int64()),
+            "w": pa.array(np.concatenate(out_w), pa.float64()),
+        })
+
+    def percentiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "cents"], kind="stable")
+        types = df["event_type"].to_numpy()
+        cents = df["cents"].to_numpy()
+        w = df["w"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, types[1:] != types[:-1]])
+        ends = np.append(starts[1:], len(types))
+        cw = np.cumsum(w)
+        base = np.r_[0, cw[ends - 1][:-1]]        # cum weight before grp
+        totals = cw[ends - 1] - base
+
+        def disc(p: float) -> np.ndarray:
+            # smallest element whose within-group cumweight >= p*W
+            # (the -1e-9 absorbs float error so an exact integer hit
+            # selects THIS element, not the next)
+            targets = base + p * totals
+            idx = np.searchsorted(cw, targets - 1e-9)
+            return cents[np.minimum(idx, ends - 1)].astype(np.int64)
+
+        return pd.DataFrame({
+            "event_type": types[starts],
+            "p50_cents": disc(0.5),
+            "p90_cents": disc(0.9),
+            "n_events": np.rint(totals).astype(np.int64),
+        })
+
+    return hash_partitioned_map(
+        ds.map_batches(summarize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], percentiles).sort("event_type")
+
+
 def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
     """Approximate global top-k tokens with deterministic error bounds:
     ``(word, count_lo, count_hi)`` sorted by count_lo desc, word asc.

@@ -35,6 +35,59 @@ def test_mg_compress_step():
     assert keep is None and t == 0 and lowered.tolist() == counts.tolist()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_exact_regime():
+    """With s far above any per-batch type count, the summary IS the
+    raw data and the sketch must equal the exact twin bit-for-bit."""
+    import pandas as pd
+
+    from ray_script_extract.pipelines.queries import event_value_percentiles
+    from ray_script_extract.pipelines.sketches import (
+        event_value_percentiles_sketch)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = event_value_percentiles(sf).to_pandas()
+        sk = event_value_percentiles_sketch(sf, s=10**6).to_pandas()
+        pd.testing.assert_frame_equal(sk.reset_index(drop=True),
+                                      exact.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_rank_bound():
+    """Forced-tiny s: every reported percentile must sit within the
+    N_type/s rank-error bound of its target rank in the exact sorted
+    values."""
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.sketches import (
+        event_value_percentiles_sketch)
+
+    sf = "/root/testdata/sf0.01"
+    s = 16
+    got = event_value_percentiles_sketch(sf, s=s).to_pandas()
+
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_type", "value"])
+    df = t.to_pandas()
+    df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+
+    assert len(got) == df["event_type"].nunique()
+    for _, row in got.iterrows():
+        vals = np.sort(
+            df.loc[df["event_type"] == row["event_type"], "cents"]
+            .to_numpy())
+        n = len(vals)
+        assert row["n_events"] == n
+        bound = n / s + 1
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            target = np.ceil(p * n) - 1
+            lo = np.searchsorted(vals, row[col], side="left")
+            hi = np.searchsorted(vals, row[col], side="right") - 1
+            assert lo - bound <= target <= hi + bound, \
+                (row["event_type"], col, lo, hi, target, bound)
+
+
 def test_clz64_exact():
     from ray_script_extract.pipelines.sketches import _clz64
 
