@@ -856,6 +856,94 @@ ORDER BY event_id
 """
 
 
+_LAPSED_CUTOFF = "2000-01-01"
+
+
+def lapsed_customers(sf_dir: str):
+    """Anti-join (NOT EXISTS): per-segment count + exact acctbal total
+    of customers with NO order on/after the cutoff — the "lapsed
+    accounts" scrub.
+
+    Scale shape: the probe predicate is pushed INTO the parquet read
+    (row-group pruning on o_orderdate — most of the big table never
+    leaves storage), the surviving orders pre-project to per-batch
+    DISTINCT custkeys before anything moves, both sides share ONE
+    hash-partitioned shuffle on custkey, membership is a vectorized
+    searchsorted per partition, and survivors pre-reduce to
+    per-segment partials inside the same task so the second shuffle
+    carries ≤ (partitions × segments) rows."""
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pa.scalar(
+            np.datetime64(_LAPSED_CUTOFF, "us")))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("c_custkey").cast(pa.int64()),
+            "seg": t.column("c_mktsegment"),
+            "bal_cents": pa.array(
+                _cents_np(t.column("c_acctbal").to_numpy(
+                    zero_copy_only=False)), pa.int64()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column("o_custkey")).cast(pa.int64())
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "seg": pa.nulls(n, pa.string()),  # null seg marks the probe side
+            "bal_cents": pa.nulls(n, pa.int64()),
+        })
+
+    both = (cust.map_batches(tag_cust, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        is_probe = df["seg"].isna().to_numpy()
+        have = np.unique(df["key"].to_numpy()[is_probe])
+        c = df[~is_probe]
+        keys = c["key"].to_numpy()
+        if len(have):
+            pos = np.searchsorted(have, keys)
+            pos[pos == len(have)] = 0  # sentinel; equality check below
+            miss = have[pos] != keys
+        else:
+            miss = np.ones(len(keys), bool)
+        g = (c.loc[miss]
+             .groupby("seg", as_index=False, sort=False)
+             .agg(n_customers=("key", "size"),
+                  acctbal_cents=("bal_cents", "sum")))
+        g["n_customers"] = g["n_customers"].astype(np.int64)
+        g["acctbal_cents"] = g["acctbal_cents"].astype(np.int64)
+        return g.rename(columns={"seg": "c_mktsegment"})
+
+    out = hash_partitioned_map(both, ["key"], anti)
+    return groupby_agg_partitioned(
+        out, ["c_mktsegment"],
+        {"n_customers": "sum", "acctbal_cents": "sum"}) \
+        .sort("c_mktsegment")
+
+
+LAPSED_CUSTOMERS_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_LAPSED_CUTOFF}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -1341,6 +1429,7 @@ QUERIES: Dict[str, Callable] = {
     "top_orders_per_priority": top_orders_per_priority,
     "events_rolling_sum3": events_rolling_sum3,
     "events_orders_range_join": events_orders_range_join,
+    "lapsed_customers": lapsed_customers,
     "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
@@ -1428,6 +1517,7 @@ ORACLE_SQL: Dict[str, str] = {
     "top_orders_per_priority": TOP_ORDERS_PER_PRIORITY_SQL,
     "events_rolling_sum3": EVENTS_ROLLING_SQL,
     "events_orders_range_join": EVENTS_RANGE_JOIN_SQL,
+    "lapsed_customers": LAPSED_CUSTOMERS_SQL,
     "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
