@@ -460,84 +460,99 @@ def _simhash64(text: str) -> int:
     return int(_simhash64_batch([text])[0])
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
-    keys.  Pigeonhole guarantee: a pair with hamming distance ≤ 3
-    differs in at most 3 of the 4 bands, so it shares ≥ 1 exact band
-    — recall is EXACT for the default ``max_hamming=3`` (raising it
-    past 3 requires more/narrower bands or multi-band probing; the
-    previous default of 8 silently dropped pairs whose differing bits
-    spread across all four bands).  Verified by vectorized popcount;
-    exact DuckDB oracle in SIMHASH_SQL."""
+def band_rows_64(ids: np.ndarray, fp: np.ndarray) -> pa.Table:
+    """4×16-bit band rows for a batch of 64-bit fingerprints: band id
+    rides above the 16 chunk bits; the fingerprint itself rides along
+    (8 bytes — same size as the id, so no payload blowup) so hamming
+    verify happens in-bucket with no join."""
+    n = len(fp)
+    keys = np.empty((4, n), dtype=np.int64)
+    for b in range(4):
+        chunk = ((fp >> np.uint64(16 * b))
+                 & np.uint64(0xFFFF)).astype(np.int64)
+        keys[b] = chunk | (b << 16)  # band id above the 16 chunk bits
+    signed = (fp - np.uint64(1 << 63)).view(np.int64)
+    return pa.table({
+        "band_key": pa.array(keys.ravel(), pa.int64()),
+        "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+        "simhash": pa.array(np.tile(signed, 4), pa.int64()),
+    })
+
+
+def _partition_hamming_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Hash partition of band rows → vectorized run detection over
+    sorted band keys, all in-bucket pairs via ``_runs_pairs`` on
+    positions, vectorized hamming popcount."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "hamming": pd.Series([], dtype=np.int64)})
+    df = df.drop_duplicates(["band_key", "doc_id"])
+    df = df.sort_values(["band_key", "doc_id"], kind="stable")
+    keys = df["band_key"].to_numpy()
+    if len(keys) == 0:
+        return empty
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    run_id = np.cumsum(change) - 1
+    sizes = np.bincount(run_id)
+    keep = (sizes >= 2) & (sizes <= _BUCKET_CAP)
+    rows = keep[run_id]
+    ids = df["doc_id"].to_numpy()[rows]
+    hs = (df["simhash"].to_numpy()[rows].astype(np.int64)
+          .view(np.uint64) + np.uint64(1 << 63))
+    pa_, pb_ = _runs_pairs(np.arange(len(ids), dtype=np.int64),
+                           sizes[keep])
+    if len(pa_) == 0:
+        return empty
+    x = hs[pa_] ^ hs[pb_]
+    pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    return pd.DataFrame({"id_a": ids[pa_], "id_b": ids[pb_],
+                         "hamming": pop})
+
+
+def hamming_pairs_64(band_rows: "ray.data.Dataset",
+                     max_hamming: int = 3) -> "ray.data.Dataset":
+    """``band_rows_64`` output → verified (id_a, id_b, hamming) pairs
+    sorted by ids.  Pigeonhole guarantee: a pair with hamming ≤ 3
+    differs in at most 3 of the 4 bands, so it shares ≥ 1 exact band —
+    recall is EXACT for ``max_hamming ≤ 3``.  Shared by the text
+    simhash dedup and the perceptual image dedup
+    (``multimodal.near_dup_images``)."""
     if max_hamming > 3:
         raise ValueError(
             "4×16-bit banding guarantees recall only for hamming <= 3; "
             "use more bands for a looser threshold")
+    from .joins import groupby_agg_partitioned
+
+    pairs = (band_rows
+             .map_batches(_add_part, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(_partition_hamming_pairs, batch_format="pandas"))
+    return (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
+                                    {"hamming": "min"})
+            .map_batches(lambda b: b.filter(
+                pc.less_equal(b.column("hamming"), max_hamming))
+                .select(["id_a", "id_b", "hamming"]),
+                batch_format="pyarrow")
+            .sort(["id_a", "id_b"]))
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
+    keys (``band_rows_64``), verified by vectorized popcount
+    (``hamming_pairs_64`` — exact recall for hamming ≤ 3; the previous
+    default of 8 silently dropped pairs whose differing bits spread
+    across all four bands).  Exact DuckDB oracle in SIMHASH_SQL."""
 
     def fingerprints(batch: pa.Table) -> pa.Table:
         fp = _simhash64_batch(batch.column("text").to_pylist())
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(fp)
-        keys = np.empty((4, n), dtype=np.int64)
-        for b in range(4):
-            chunk = ((fp >> np.uint64(16 * b))
-                     & np.uint64(0xFFFF)).astype(np.int64)
-            keys[b] = chunk | (b << 16)  # band id above the 16 chunk bits
-        signed = (fp - np.uint64(1 << 63)).view(np.int64)
-        return pa.table({
-            "band_key": pa.array(keys.ravel(), pa.int64()),
-            "doc_id": pa.array(np.tile(doc_ids, 4), pa.int64()),
-            "simhash": pa.array(np.tile(signed, 4), pa.int64()),
-        })
-
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Hash partition of band rows → vectorized run detection over
-        sorted band keys, all in-bucket pairs via ``_runs_pairs`` on
-        positions, vectorized hamming.  The fingerprint rides the band
-        rows here (8 bytes — same size as the doc_id, so no payload
-        blowup), letting verify happen in-bucket with no join."""
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                              "id_b": pd.Series([], dtype=np.int64),
-                              "hamming": pd.Series([], dtype=np.int64)})
-        df = df.drop_duplicates(["band_key", "doc_id"])
-        df = df.sort_values(["band_key", "doc_id"], kind="stable")
-        keys = df["band_key"].to_numpy()
-        if len(keys) == 0:
-            return empty
-        change = np.r_[True, keys[1:] != keys[:-1]]
-        run_id = np.cumsum(change) - 1
-        sizes = np.bincount(run_id)
-        keep = (sizes >= 2) & (sizes <= _BUCKET_CAP)
-        rows = keep[run_id]
-        ids = df["doc_id"].to_numpy()[rows]
-        hs = (df["simhash"].to_numpy()[rows].astype(np.int64)
-              .view(np.uint64) + np.uint64(1 << 63))
-        pa_, pb_ = _runs_pairs(np.arange(len(ids), dtype=np.int64),
-                               sizes[keep])
-        if len(pa_) == 0:
-            return empty
-        x = hs[pa_] ^ hs[pb_]
-        pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1).astype(np.int64)
-        return pd.DataFrame({"id_a": ids[pa_], "id_b": ids[pb_],
-                             "hamming": pop})
-
-    from .joins import groupby_agg_partitioned
+        return band_rows_64(doc_ids, fp)
 
     ds = _read_docs(sf_dir)
-    pairs = (ds.map_batches(fingerprints, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .map_batches(_add_part, batch_format="pandas")
-             .groupby("__part")
-             .map_groups(partition_pairs, batch_format="pandas"))
-    out = (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
-                                   {"hamming": "min"})
-           .map_batches(lambda b: b.filter(
-               pc.less_equal(b.column("hamming"), max_hamming))
-               .select(["id_a", "id_b", "hamming"]),
-               batch_format="pyarrow")
-           .sort(["id_a", "id_b"]))
-    return out
+    return hamming_pairs_64(
+        ds.map_batches(fingerprints, batch_format="pyarrow",
+                       zero_copy_batch=True), max_hamming)
 
 
 SIMHASH_SQL = """

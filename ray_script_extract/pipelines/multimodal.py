@@ -242,3 +242,81 @@ def media_thumbnails(sf_dir: str):
     return ds.map_batches(ThumbnailActor, batch_format="pyarrow",
                           concurrency=(1, 4), batch_size=64,
                           zero_copy_batch=True).sort("doc_id")
+
+
+def ahash64(px: "np.ndarray") -> int:
+    """Perceptual average-hash: grayscale → 8×8 block-mean → 64 bits
+    (pixel > grid mean).  Small pixel perturbations flip few bits, so
+    hamming distance is a perceptual-similarity proxy (the classic
+    pHash-family construction used for image dedup in web-scale
+    training pipelines)."""
+    g = px.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    # block-mean downsample to 8×8 (exact reduceat pooling; works for
+    # any H, W ≥ 1 — indices are the standard resize grid)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    pooled = np.add.reduceat(np.add.reduceat(g, rows, axis=0),
+                             cols, axis=1)
+    rcnt = np.diff(np.append(rows, h))[:, None]
+    ccnt = np.diff(np.append(cols, w))[None, :]
+    pooled = pooled / (rcnt * ccnt)
+    bits = (pooled > pooled.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AHashActor:
+    """Actor-pool perceptual-hash stage: decode once per payload,
+    emit (numeric doc id, media_ref, 64-bit ahash) band rows ready for
+    the shared hamming-pair machinery."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import decode_image
+        from .dedup import band_rows_64
+
+        ids, fps, refs = [], [], []
+        for ref, did, payload in zip(batch.column("media_ref").to_pylist(),
+                                     batch.column("doc_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            ids.append(int(did.rsplit("-", 1)[1]))
+            refs.append(ref)
+            fps.append(ahash64(decode_image(payload)))
+        return band_rows_64(np.asarray(ids, np.int64),
+                            np.asarray(fps, np.uint64))
+
+
+def near_dup_images(sf_dir: str, max_hamming: int = 3):
+    """Perceptual near-duplicate image pairs over the corpus's image
+    payloads: decode → ahash64 → the SAME 4×16-bit banding +
+    in-bucket popcount verify as the text simhash path
+    (``dedup.hamming_pairs_64`` — recall exact for hamming ≤ 3).
+    Output: (id_a, id_b, hamming) over numeric doc ids, sorted.
+
+    The reference has no media handling at all (poppler drops images,
+    `SURVEY.md §1.2`); this is the image leg of the dedup family a
+    100 TB multimodal corpus needs."""
+    return near_dup_images_from_media(
+        media_refs_from_documents(sf_dir), max_hamming)
+
+
+def near_dup_images_from_media(media_ds: "ray.data.Dataset",
+                               max_hamming: int = 3):
+    """Same pipeline over an explicit MEDIA_SCHEMA dataset (the
+    deployment shape: the media table is its own input, not derived
+    from documents)."""
+    import pyarrow.compute as pc
+
+    from .dedup import hamming_pairs_64
+
+    def only_images(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("media_type"), "image"))
+
+    bands = (media_ds
+             .map_batches(only_images, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(AHashActor, batch_format="pyarrow",
+                          concurrency=(1, 4), batch_size=64,
+                          zero_copy_batch=True))
+    return hamming_pairs_64(bands, max_hamming)

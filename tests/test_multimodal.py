@@ -229,3 +229,42 @@ def test_media_thumbnails():
     assert (a["thumb_bytes"] > 0).all()
     b = media_thumbnails("/root/testdata/sf0.001").to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_images_crafted():
+    """Perceptual image dedup on a crafted media table: an exact dup
+    (hamming 0), a lightly perturbed near-dup (small hamming), and an
+    unrelated image that must NOT pair with the base."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray_script_extract.functions.imagecodec import encode_png
+    from ray_script_extract.pipelines.multimodal import (
+        MEDIA_SCHEMA, ahash64, near_dup_images_from_media)
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    dup = base.copy()
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]          # tiny perturbation
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ham_near = bin(ahash64(base) ^ ahash64(near)).count("1")
+    ham_other = bin(ahash64(base) ^ ahash64(other)).count("1")
+    assert ham_near <= 3 < ham_other       # the scenario is meaningful
+
+    imgs = {1: base, 2: dup, 3: near, 4: other}
+    t = pa.Table.from_arrays([
+        pa.array([f"img://crafted/{i}" for i in imgs], pa.string()),
+        pa.array([f"doc-{i:08d}" for i in imgs], pa.string()),
+        pa.array([encode_png(v) for v in imgs.values()], pa.binary()),
+        pa.array(["image"] * len(imgs), pa.string()),
+    ], schema=MEDIA_SCHEMA)
+
+    out = near_dup_images_from_media(ray.data.from_arrow(t)).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(out["id_a"], out["id_b"], out["hamming"])}
+    assert got[(1, 2)] == 0                # exact dup found
+    assert got[(2, 3)] == got[(1, 3)] == ham_near
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
