@@ -320,3 +320,68 @@ def near_dup_images_from_media(media_ds: "ray.data.Dataset",
                           concurrency=(1, 4), batch_size=64,
                           zero_copy_batch=True))
     return hamming_pairs_64(bands, max_hamming)
+
+
+def audiohash64(samples: "np.ndarray") -> int:
+    """Acoustic fingerprint: 65 equal time windows → per-window RMS
+    energy → 64 bits from the SIGN of successive energy deltas (the
+    energy-difference construction behind Shazam/Chromaprint-style
+    fingerprints, minus the spectral transform — honest for a
+    container with no FFT-quality audio stack).  Amplitude-invariant
+    by construction (deltas compare adjacent windows), and local
+    waveform edits flip only the bits whose windows they touch."""
+    s = samples.astype(np.float64)
+    if len(s) == 0:
+        return 0
+    bounds = (np.arange(66) * len(s)) // 65
+    bounds = np.maximum(bounds, np.arange(66))  # ≥1 sample per window
+    bounds = np.minimum(bounds, len(s))
+    e = np.add.reduceat(np.r_[s * s, 0.0], bounds[:-1])
+    cnt = np.maximum(np.diff(bounds), 1)
+    e = e / cnt
+    bits = e[1:] > e[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioHashActor:
+    """Actor-pool audio-fingerprint stage mirroring ``AHashActor``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiocodec import decode_wav
+        from .dedup import band_rows_64
+
+        ids, fps = [], []
+        for did, payload in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            samples, _ = decode_wav(payload)
+            ids.append(int(did.rsplit("-", 1)[1]))
+            fps.append(audiohash64(samples))
+        return band_rows_64(np.asarray(ids, np.int64),
+                            np.asarray(fps, np.uint64))
+
+
+def near_dup_audio(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate audio pairs over the corpus's WAV payloads —
+    the audio leg of the modality-complete dedup family (text
+    simhash / image ahash / audio energy-delta hash all share
+    ``dedup.hamming_pairs_64``)."""
+    return near_dup_audio_from_media(
+        media_refs_from_documents(sf_dir), max_hamming)
+
+
+def near_dup_audio_from_media(media_ds: "ray.data.Dataset",
+                              max_hamming: int = 3):
+    import pyarrow.compute as pc
+
+    from .dedup import hamming_pairs_64
+
+    def only_audio(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("media_type"), "audio"))
+
+    bands = (media_ds
+             .map_batches(only_audio, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(AudioHashActor, batch_format="pyarrow",
+                          concurrency=(1, 4), batch_size=64,
+                          zero_copy_batch=True))
+    return hamming_pairs_64(bands, max_hamming)

@@ -1496,10 +1496,11 @@ QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 QUERIES["event_value_percentiles_sketch"] = event_value_percentiles_sketch
 
 from .clustering import cluster_embeddings  # noqa: E402
-from .multimodal import near_dup_images  # noqa: E402
+from .multimodal import near_dup_audio, near_dup_images  # noqa: E402
 
 QUERIES["cluster_embeddings"] = cluster_embeddings
 QUERIES["near_dup_images"] = near_dup_images
+QUERIES["near_dup_audio"] = near_dup_audio
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,

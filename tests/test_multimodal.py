@@ -268,3 +268,48 @@ def test_near_dup_images_crafted():
     assert got[(1, 2)] == 0                # exact dup found
     assert got[(2, 3)] == got[(1, 3)] == ham_near
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_audio_crafted():
+    """Audio fingerprint dedup: amplitude-rescaled copy (hamming 0 —
+    the fingerprint is gain-invariant), a locally edited near-dup, and
+    unrelated noise that must not pair."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray_script_extract.functions.audiocodec import encode_wav
+    from ray_script_extract.pipelines.multimodal import (
+        MEDIA_SCHEMA, audiohash64, near_dup_audio_from_media)
+
+    rng = np.random.default_rng(5)
+    base = ((rng.random(4000) * 2 - 1) * 10000).astype(np.int16)
+    louder = (base.astype(np.float64) * 1.5).clip(-32768, 32767) \
+        .astype(np.int16)
+    pert = base.copy()
+    pert[100:140] = 0
+    other = ((rng.random(4000) * 2 - 1) * 10000).astype(np.int16)
+
+    h = {k: audiohash64(v) for k, v in
+         (("base", base), ("louder", louder), ("pert", pert),
+          ("other", other))}
+    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    assert ham("base", "louder") == 0
+    assert 0 < ham("base", "pert") <= 3 < ham("base", "other")
+
+    clips = {1: base, 2: louder, 3: pert, 4: other}
+    t = pa.Table.from_arrays([
+        pa.array([f"wav://crafted/{i}" for i in clips], pa.string()),
+        pa.array([f"doc-{i:08d}" for i in clips], pa.string()),
+        pa.array([encode_wav(v, rate=8000) for v in clips.values()],
+                 pa.binary()),
+        pa.array(["audio"] * len(clips), pa.string()),
+    ], schema=MEDIA_SCHEMA)
+
+    out = near_dup_audio_from_media(ray.data.from_arrow(t)).to_pandas()
+    got = {(a, b): hm for a, b, hm in
+           zip(out["id_a"], out["id_b"], out["hamming"])}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == ham("base", "pert")
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
