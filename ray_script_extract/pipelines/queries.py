@@ -157,9 +157,19 @@ def q3_top_orders(sf_dir: str):
     from .joins import hash_join_via_groupby
 
     rev, orders = _q3_revenue(sf_dir)
+
+    def prune_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        # global top-10 ⊆ union of per-partition top-10 under the same
+        # ordering (each order's rows live in ONE partition after the
+        # key shuffle), so only 10 rows per partition enter the sort
+        return df.sort_values(["revenue_cents", "l_orderkey"],
+                              ascending=[False, True],
+                              kind="stable").head(10)
+
     joined = hash_join_via_groupby(
         rev, orders, "l_orderkey", "o_orderkey",
         pre_left=_q3_finish_reduce,
+        post=prune_topk,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("revenue_cents", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -484,20 +494,31 @@ SELECT p_type, COUNT(*) AS n_parts FROM part GROUP BY p_type ORDER BY p_type
 
 
 def top_lineitems_by_price(sf_dir: str, k: int = 15):
-    """Global top-k with deterministic tie-break — distributed sort +
-    limit (only k rows reach the driver)."""
+    """Global top-k with deterministic tie-break.  Per-block pre-prune
+    BEFORE the sort: the global top-k is a subset of the union of each
+    block's top-k under the same composite ordering, so only k rows
+    per block enter the all-to-all range shuffle — at 10^12 rows the
+    sort input shrinks from the whole table to k × blocks."""
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    def cents(batch: pa.Table) -> pa.Table:
+    def cents_topk(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        return pa.table({
+        pcents = _cents_np(price)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        t = pa.table({
             "l_orderkey": batch.column("l_orderkey"),
             "l_linenumber": batch.column("l_linenumber"),
-            "price_cents": pa.array(_cents_np(price), pa.int64()),
+            "price_cents": pa.array(pcents, pa.int64()),
         })
+        if len(pcents) > k:
+            keep = np.lexsort((ln, ok, -pcents))[:k]
+            t = t.take(pa.array(keep))
+        return t
 
-    return (ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.map_batches(cents_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
               .sort(["price_cents", "l_orderkey", "l_linenumber"],
                     descending=[True, False, False])
               .limit(k))
