@@ -385,3 +385,62 @@ def near_dup_audio_from_media(media_ds: "ray.data.Dataset",
                           concurrency=(1, 4), batch_size=64,
                           zero_copy_batch=True))
     return hamming_pairs_64(bands, max_hamming)
+
+
+def videohash64(payload: bytes) -> int:
+    """Clip fingerprint: per-frame ``ahash64`` over every sampled
+    frame, folded by per-bit MAJORITY vote — per-frame noise (light
+    re-encode perturbations) averages out across frames so near-dup
+    clips land within small hamming distance, and the fold reduces to
+    the plain image hash for single-frame clips.  (A wholesale frame
+    REPLACEMENT can still move many borderline-vote bits; sequence-
+    aware matching is out of scope for a fingerprint this size.)"""
+    from ..functions.videocodec import decode_rawv
+
+    frames = decode_rawv(payload, frame_step=1)
+    if not frames:
+        return 0
+    hashes = np.array([ahash64(f) for f in frames], dtype=np.uint64)
+    bits = np.unpackbits(hashes[:, None].view(np.uint8), axis=1)
+    maj = bits.sum(axis=0) * 2 >= len(frames)
+    return int(np.packbits(maj).view(np.uint64)[0])
+
+
+class VideoHashActor:
+    """Actor-pool video-fingerprint stage mirroring ``AHashActor``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import band_rows_64
+
+        ids, fps = [], []
+        for did, payload in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            ids.append(int(did.rsplit("-", 1)[1]))
+            fps.append(videohash64(payload))
+        return band_rows_64(np.asarray(ids, np.int64),
+                            np.asarray(fps, np.uint64))
+
+
+def near_dup_videos(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate video pairs — the final modality leg of the
+    shared-banding dedup family."""
+    return near_dup_videos_from_media(
+        media_refs_from_documents(sf_dir), max_hamming)
+
+
+def near_dup_videos_from_media(media_ds: "ray.data.Dataset",
+                               max_hamming: int = 3):
+    import pyarrow.compute as pc
+
+    from .dedup import hamming_pairs_64
+
+    def only_video(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("media_type"), "video"))
+
+    bands = (media_ds
+             .map_batches(only_video, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(VideoHashActor, batch_format="pyarrow",
+                          concurrency=(1, 4), batch_size=64,
+                          zero_copy_batch=True))
+    return hamming_pairs_64(bands, max_hamming)

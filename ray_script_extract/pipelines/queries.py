@@ -1517,11 +1517,16 @@ QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 QUERIES["event_value_percentiles_sketch"] = event_value_percentiles_sketch
 
 from .clustering import cluster_embeddings  # noqa: E402
-from .multimodal import near_dup_audio, near_dup_images  # noqa: E402
+from .multimodal import (  # noqa: E402
+    near_dup_audio,
+    near_dup_images,
+    near_dup_videos,
+)
 
 QUERIES["cluster_embeddings"] = cluster_embeddings
 QUERIES["near_dup_images"] = near_dup_images
 QUERIES["near_dup_audio"] = near_dup_audio
+QUERIES["near_dup_videos"] = near_dup_videos
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,

@@ -313,3 +313,47 @@ def test_near_dup_audio_crafted():
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == ham("base", "pert")
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_videos_crafted():
+    """Video fingerprint dedup: a byte-identical clip, a lightly
+    re-encoded twin (every frame perturbed by one pixel), and an
+    unrelated clip."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray_script_extract.functions.videocodec import encode_rawv
+    from ray_script_extract.pipelines.multimodal import (
+        MEDIA_SCHEMA, ahash64, near_dup_videos_from_media, videohash64)
+
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+              for _ in range(5)]
+    reenc = [f.copy() for f in frames]
+    for f in reenc:
+        f[0, 0] = 255 - f[0, 0]
+    other = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+             for _ in range(5)]
+    clips = {1: frames, 2: [f.copy() for f in frames], 3: reenc, 4: other}
+
+    h = {k: videohash64(encode_rawv(v)) for k, v in clips.items()}
+    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    assert ham(1, 2) == 0
+    assert 0 < ham(1, 3) <= 3 < ham(1, 4)
+    # single-frame fold reduces to the image hash
+    assert videohash64(encode_rawv(frames[:1])) == ahash64(frames[0])
+
+    t = pa.Table.from_arrays([
+        pa.array([f"vid://crafted/{i}" for i in clips], pa.string()),
+        pa.array([f"doc-{i:08d}" for i in clips], pa.string()),
+        pa.array([encode_rawv(v) for v in clips.values()], pa.binary()),
+        pa.array(["video"] * len(clips), pa.string()),
+    ], schema=MEDIA_SCHEMA)
+    out = near_dup_videos_from_media(ray.data.from_arrow(t)).to_pandas()
+    got = {(a, b): hm for a, b, hm in
+           zip(out["id_a"], out["id_b"], out["hamming"])}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == ham(1, 3)
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
