@@ -968,6 +968,30 @@ ORDER BY c_mktsegment
 _DAY_US = 86_400_000_000
 
 
+def _column_minmax_us(path: str, col: str) -> "tuple[int, int]":
+    """Global (min, max) of a timestamp column in epoch micros from
+    parquet row-group statistics — a metadata-only driver read,
+    bounded by row-group count regardless of table size."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(col)
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            # a writer without stats: fall back to the widest window
+            return (np.iinfo(np.int64).min // 2,
+                    np.iinfo(np.int64).max // 2)
+        mn = np.datetime64(st.min, "us").astype(np.int64)
+        mx = np.datetime64(st.max, "us").astype(np.int64)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return 0, 0
+    return int(lo), int(hi)
+
+
 def events_orders_range_join(sf_dir: str):
     """Pure non-equi range (interval) join — a custom operator Ray
     Data lacks: every event matched against ALL orders whose
@@ -997,7 +1021,18 @@ def events_orders_range_join(sf_dir: str):
     from .joins import hash_partitioned_map
 
     events = _read(sf_dir, "events", ["event_id", "ts"])
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    # prune the build side to the probe side's reachable window using
+    # parquet FOOTER statistics only (no data read): orders dated more
+    # than 1 day outside [min(ts), max(ts)] can never match any event,
+    # and the filter pushes down to row-group pruning at the scan
+    lo_ts, hi_ts = _column_minmax_us(f"{sf_dir}/events.parquet", "ts")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        filter=((pc.field("o_orderdate")
+                 >= pa.scalar(np.datetime64(lo_ts - _DAY_US, "us")))
+                & (pc.field("o_orderdate")
+                   <= pa.scalar(np.datetime64(hi_ts + _DAY_US, "us")))))
 
     def tag_events(t: pa.Table) -> pa.Table:
         ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
