@@ -880,6 +880,84 @@ ORDER BY event_id
 _LAPSED_CUTOFF = "2000-01-01"
 
 
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered-funnel analysis: for every user, the earliest
+    signup → first view strictly after it → first purchase strictly
+    after that (the canonical conversion-funnel op of event
+    pipelines).  Output (user_id, s1_us, v1_us, p1_us), -1 where the
+    funnel stalls, sorted by user_id.
+
+    ONE shuffle co-locates each user's events (hash_partitioned_map);
+    inside a partition every step is a masked groupby-min over ALL
+    users at once — step k+1 filters to rows later than the user's
+    step-k time via a transform broadcast, so the whole funnel is
+    three vectorized passes, never a per-user loop."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (df["ts"].astype("datetime64[ns]").astype("int64")
+                 // 1000).to_numpy()
+        df = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "event_type": df["event_type"].to_numpy(),
+                           "ts_us": ts_us})
+        users = np.unique(df["user_id"].to_numpy())
+        out = pd.DataFrame({"user_id": users})
+        prev = None  # per-user time of the previous step (None = step 1)
+        for step, col in zip(_FUNNEL_STEPS, ("s1_us", "v1_us", "p1_us")):
+            rows = df[df["event_type"] == step]
+            if prev is not None:
+                # keep only events strictly after the user's
+                # previous-step time; stalled users (-1) keep nothing
+                gate = prev.reindex(rows["user_id"]).to_numpy()
+                rows = rows[(gate != -1)
+                            & (rows["ts_us"].to_numpy() > gate)]
+            firsts = rows.groupby("user_id")["ts_us"].min()
+            cur = firsts.reindex(users).fillna(-1).astype(np.int64)
+            out[col] = cur.to_numpy()
+            prev = cur
+        return out
+
+    return hash_partitioned_map(ds, ["user_id"], per_partition) \
+        .sort("user_id")
+
+
+EVENTS_FUNNEL_SQL = """
+SELECT u.user_id,
+       COALESCE(s.s1, -1) AS s1_us,
+       COALESCE(v.v1, -1) AS v1_us,
+       COALESCE(p.p1, -1) AS p1_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS s1
+           FROM events WHERE event_type = 'signup'
+           GROUP BY user_id) s USING (user_id)
+LEFT JOIN (SELECT e.user_id, CAST(epoch_us(MIN(e.ts)) AS BIGINT) AS v1
+           FROM events e
+           JOIN (SELECT user_id, MIN(ts) AS t FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id) s0
+             ON s0.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts > s0.t
+           GROUP BY e.user_id) v USING (user_id)
+LEFT JOIN (SELECT e.user_id, CAST(epoch_us(MIN(e.ts)) AS BIGINT) AS p1
+           FROM events e
+           JOIN (SELECT e2.user_id, MIN(e2.ts) AS t
+                 FROM events e2
+                 JOIN (SELECT user_id, MIN(ts) AS t FROM events
+                       WHERE event_type = 'signup' GROUP BY user_id) s0
+                   ON s0.user_id = e2.user_id
+                 WHERE e2.event_type = 'view' AND e2.ts > s0.t
+                 GROUP BY e2.user_id) v0
+             ON v0.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v0.t
+           GROUP BY e.user_id) p USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 def lapsed_customers(sf_dir: str):
     """Anti-join (NOT EXISTS): per-segment count + exact acctbal total
     of customers with NO order on/after the cutoff — the "lapsed
@@ -1485,6 +1563,7 @@ QUERIES: Dict[str, Callable] = {
     "top_orders_per_priority": top_orders_per_priority,
     "events_rolling_sum3": events_rolling_sum3,
     "events_orders_range_join": events_orders_range_join,
+    "events_funnel": events_funnel,
     "lapsed_customers": lapsed_customers,
     "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
@@ -1581,6 +1660,7 @@ ORACLE_SQL: Dict[str, str] = {
     "top_orders_per_priority": TOP_ORDERS_PER_PRIORITY_SQL,
     "events_rolling_sum3": EVENTS_ROLLING_SQL,
     "events_orders_range_join": EVENTS_RANGE_JOIN_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "lapsed_customers": LAPSED_CUSTOMERS_SQL,
     "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
