@@ -119,6 +119,44 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+_Q1_MEASURES = ["sum_qty_cents", "sum_base_cents", "sum_disc_cents",
+                "count_order"]
+
+
+def q1_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus): finest level plus
+    per-flag subtotals plus the grand total, 'ALL' as the rollup
+    marker.  The distributed plan is EXACTLY q1's (per-block cents
+    partials, ≤6-row-per-block shuffle); the coarser levels are pure
+    sums of the ≤|RF×LS| finest rows, so deriving them driver-side is
+    the right plan at any scale — a second pass over lineitem per
+    grouping set would be pure waste."""
+    fin = q1_pricing_summary(sf_dir).to_pandas()
+    lv1 = fin.groupby("l_returnflag", as_index=False)[_Q1_MEASURES].sum()
+    lv1["l_linestatus"] = "ALL"
+    tot = fin[_Q1_MEASURES].sum().to_frame().T
+    tot["l_returnflag"] = "ALL"
+    tot["l_linestatus"] = "ALL"
+    out = pd.concat([fin, lv1, tot], ignore_index=True)[
+        ["l_returnflag", "l_linestatus"] + _Q1_MEASURES]
+    out[_Q1_MEASURES] = out[_Q1_MEASURES].astype(np.int64)
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+               .reset_index(drop=True))
+
+
+Q1_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
 def _q3_revenue(sf_dir: str):
     """Lineitem → per-block-combined (l_orderkey, revenue_cents)
     partials + the orders side.  The per-order reduce is NOT finished
@@ -880,6 +918,64 @@ ORDER BY event_id
 _LAPSED_CUTOFF = "2000-01-01"
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user, one count
+    column per event type plus the all-types total (the long→wide
+    reshape of analytics pipelines; reference has no counterpart —
+    new-capability tier like the dedup family).
+
+    Per-batch partial crosstab first — ``np.add.at`` over factorized
+    (user, type) collapses each batch to ≤ |distinct users in batch|
+    rows of 7 small ints — so the single user_id shuffle moves partial
+    matrices, not events.  At 100 TB the shuffle payload is bounded by
+    |users| × blocks touched, never by |events|."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        et = batch.column("event_type")
+        users, uinv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(users), len(_PIVOT_TYPES)), np.int64)
+        for j, t in enumerate(_PIVOT_TYPES):
+            mask = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            np.add.at(mat[:, j], uinv[mask], 1)
+        out = {"user_id": users,
+               "n_events": np.bincount(uinv, minlength=len(users))
+                             .astype(np.int64)}
+        for j, c in enumerate(cols):
+            out[c] = mat[:, j]
+        return pa.table(out)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False, sort=False)[
+            cols + ["n_events"]].sum()
+
+    return hash_partitioned_map(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], per_partition).sort("user_id")
+
+
+EVENTS_USER_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 _FUNNEL_STEPS = ("signup", "view", "purchase")
 
 
@@ -1547,6 +1643,7 @@ from .text_analysis import (  # noqa: E402
 
 QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q1_rollup": q1_rollup,
     "q3_top_orders": q3_top_orders,
     "q3_top_orders_native": q3_top_orders_native,
     "q5_region_revenue": q5_region_revenue,
@@ -1564,6 +1661,7 @@ QUERIES: Dict[str, Callable] = {
     "events_rolling_sum3": events_rolling_sum3,
     "events_orders_range_join": events_orders_range_join,
     "events_funnel": events_funnel,
+    "events_user_pivot": events_user_pivot,
     "lapsed_customers": lapsed_customers,
     "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
@@ -1644,6 +1742,7 @@ QUERIES["near_dup_videos"] = near_dup_videos
 
 ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
+    "q1_rollup": Q1_ROLLUP_SQL,
     "q3_top_orders": Q3_SQL,
     "q3_top_orders_native": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
@@ -1661,6 +1760,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_rolling_sum3": EVENTS_ROLLING_SQL,
     "events_orders_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_user_pivot": EVENTS_USER_PIVOT_SQL,
     "lapsed_customers": LAPSED_CUSTOMERS_SQL,
     "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
