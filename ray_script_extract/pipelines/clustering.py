@@ -34,10 +34,20 @@ import ray.data
 from .similarity import _read_emb, kmeans_fit, _sample_matrix
 
 
-def _lloyd_pass(sf_dir: str, centroids: np.ndarray):
+def _lloyd_pass(sf_dir: str, centroids: np.ndarray,
+                driver_combine: bool = False):
     """One distributed Lloyd iteration: returns (new_centroids,
     inertia, n_assigned) — inertia is Σ (1 - cos(x, c(x))) over
-    normalized vectors, the spherical-k-means objective."""
+    normalized vectors, the spherical-k-means objective.
+
+    ``driver_combine=True`` (chosen ONCE per fit from the parquet
+    footer, same budget discipline as ``broadcast_int_lookup``)
+    collects the ≤ k-rows-per-block partials straight to the driver
+    and reduces them there — the per-pass all-to-all barrier is pure
+    overhead while k × num_blocks × dim×8B is a few MB.  Past the
+    budget the hash-partitioned shuffle reduce takes over unchanged.
+    Both paths sort partials by (cluster, batch_ord) before the same
+    reduceat, so they are bit-identical."""
     from .joins import hash_partitioned_map
 
     k, dim = centroids.shape
@@ -84,10 +94,16 @@ def _lloyd_pass(sf_dir: str, centroids: np.ndarray):
             "inertia": np.add.reduceat(df["inertia"].to_numpy(), starts),
         })
 
-    parts = hash_partitioned_map(
-        _read_emb(sf_dir).map_batches(partial, batch_format="pyarrow",
-                                      zero_copy_batch=True),
-        ["cluster"], reduce).to_pandas()   # ≤ k rows
+    partials = _read_emb(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    if driver_combine:
+        # ≤ k rows per input block; reduce() itself sorts by
+        # (cluster, batch_ord) so the sum order is bit-identical to
+        # the per-partition shuffle reduce
+        parts = reduce(partials.to_pandas())
+    else:
+        parts = hash_partitioned_map(
+            partials, ["cluster"], reduce).to_pandas()   # ≤ k rows
 
     parts = parts.sort_values("cluster")
     new = centroids.copy()
@@ -100,7 +116,8 @@ def _lloyd_pass(sf_dir: str, centroids: np.ndarray):
 
 
 def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
-                       n_iter: int = 5, return_stats: bool = False):
+                       n_iter: int = 5, return_stats: bool = False,
+                       force_shuffle_combine: bool = False):
     """Full-dataset spherical k-means: seed on the bounded sample
     (``kmeans_fit``), refine with ``n_iter`` distributed Lloyd passes,
     then one final streaming pass emits the ``(vec_id, cluster)``
@@ -109,14 +126,24 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
     write_parquet or a downstream stage).  ``return_stats=True``
     additionally returns the inertia trajectory and final centroids
     (n_iter floats + k×dim — driver-bounded metadata)."""
+    import pyarrow.parquet as pq
+
     sample = _sample_matrix(sf_dir)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
                          1e-12)
     centroids = kmeans_fit(sample, n_clusters)
 
+    # footer-only strategy pick (no data I/O): partials are
+    # k × num_blocks rows; below ~50M input rows that is a few MB, so
+    # the per-pass shuffle barrier is pure overhead
+    n_rows = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    driver_combine = n_rows <= 50_000_000 and not force_shuffle_combine
+
     trajectory = []
     for _ in range(n_iter):
-        centroids, inertia, _ = _lloyd_pass(sf_dir, centroids)
+        centroids, inertia, _ = _lloyd_pass(sf_dir, centroids,
+                                            driver_combine)
         trajectory.append(inertia)
 
     bc = ray.put(centroids)

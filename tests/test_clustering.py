@@ -69,3 +69,19 @@ def test_distributed_lloyd_matches_numpy_twin():
     # every cluster id in range; all rows assigned exactly once
     assert got["cluster"].between(0, n_clusters - 1).all()
     assert len(got) == len(ids)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_combine_paths_bit_identical():
+    """The budgeted driver combine and the shuffle reduce sum partials
+    in the same (cluster, batch_ord) order, so centroids/inertia must
+    match BIT-exactly, not just approximately."""
+    from ray_script_extract.pipelines.clustering import cluster_embeddings
+
+    _, traj_a, cents_a = cluster_embeddings(
+        SF, n_clusters=6, n_iter=2, return_stats=True)
+    _, traj_b, cents_b = cluster_embeddings(
+        SF, n_clusters=6, n_iter=2, return_stats=True,
+        force_shuffle_combine=True)
+    assert traj_a == traj_b
+    assert np.array_equal(cents_a, cents_b)
