@@ -113,9 +113,20 @@ class MediaFeatureActor:
         })
 
 
-def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
+_MODALITY_SLOTS = {0: "image", 4: "audio", 6: "video"}
+
+
+def media_refs_from_documents(sf_dir: str,
+                              modalities=("image", "audio", "video")
+                              ) -> "ray.data.Dataset":
     """Derive the media table the flagship corpus implies (every 8th
-    document carries a content-addressed image ref)."""
+    document carries a content-addressed image ref).
+
+    ``modalities`` limits synthesis to the requested media types —
+    the stand-in for predicate pushdown on a real media table, where
+    a modality-specific pipeline reads only its own rows instead of
+    scanning and discarding the other two thirds."""
+    want = frozenset(modalities)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -130,6 +141,10 @@ def media_refs_from_documents(sf_dir: str) -> "ray.data.Dataset":
         from ..functions.imagecodec import encode_png
 
         for did, text in zip(doc_ids, texts):
+            slot = did % 8
+            if slot not in _MODALITY_SLOTS or \
+                    _MODALITY_SLOTS[slot] not in want:
+                continue
             digest = hashlib.sha256(text.encode())
             if did % 8 == 0:
                 refs.append(f"img://sha256/{digest.hexdigest()}")
@@ -236,7 +251,7 @@ def media_thumbnails(sf_dir: str):
     def only_images(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("media_type"), "image"))
 
-    ds = media_refs_from_documents(sf_dir) \
+    ds = media_refs_from_documents(sf_dir, modalities=("image",)) \
         .map_batches(only_images, batch_format="pyarrow",
                      zero_copy_batch=True)
     return ds.map_batches(ThumbnailActor, batch_format="pyarrow",
@@ -267,24 +282,22 @@ def ahash64(px: "np.ndarray") -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
-class AHashActor:
-    """Actor-pool perceptual-hash stage: decode once per payload,
-    emit (numeric doc id, media_ref, 64-bit ahash) band rows ready for
-    the shared hamming-pair machinery."""
+def ahash_batch(batch: pa.Table) -> pa.Table:
+    """Perceptual-hash stage: decode once per payload, emit (numeric
+    doc id, 64-bit ahash) band rows ready for the shared hamming-pair
+    machinery.  A plain task-pool function, NOT an actor pool: the
+    stage holds no per-worker state (the codec is pure), so an actor
+    pool would only add cold-spawn latency."""
+    from ..functions.imagecodec import decode_image
+    from .dedup import band_rows_64
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.imagecodec import decode_image
-        from .dedup import band_rows_64
-
-        ids, fps, refs = [], [], []
-        for ref, did, payload in zip(batch.column("media_ref").to_pylist(),
-                                     batch.column("doc_id").to_pylist(),
-                                     batch.column("payload").to_pylist()):
-            ids.append(int(did.rsplit("-", 1)[1]))
-            refs.append(ref)
-            fps.append(ahash64(decode_image(payload)))
-        return band_rows_64(np.asarray(ids, np.int64),
-                            np.asarray(fps, np.uint64))
+    ids, fps = [], []
+    for did, payload in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        ids.append(int(did.rsplit("-", 1)[1]))
+        fps.append(ahash64(decode_image(payload)))
+    return band_rows_64(np.asarray(ids, np.int64),
+                        np.asarray(fps, np.uint64))
 
 
 def near_dup_images(sf_dir: str, max_hamming: int = 3):
@@ -298,7 +311,8 @@ def near_dup_images(sf_dir: str, max_hamming: int = 3):
     `SURVEY.md §1.2`); this is the image leg of the dedup family a
     100 TB multimodal corpus needs."""
     return near_dup_images_from_media(
-        media_refs_from_documents(sf_dir), max_hamming)
+        media_refs_from_documents(sf_dir, modalities=("image",)),
+        max_hamming)
 
 
 def near_dup_images_from_media(media_ds: "ray.data.Dataset",
@@ -316,9 +330,8 @@ def near_dup_images_from_media(media_ds: "ray.data.Dataset",
     bands = (media_ds
              .map_batches(only_images, batch_format="pyarrow",
                           zero_copy_batch=True)
-             .map_batches(AHashActor, batch_format="pyarrow",
-                          concurrency=(1, 4), batch_size=64,
-                          zero_copy_batch=True))
+             .map_batches(ahash_batch, batch_format="pyarrow",
+                          batch_size=64, zero_copy_batch=True))
     return hamming_pairs_64(bands, max_hamming)
 
 
@@ -343,21 +356,19 @@ def audiohash64(samples: "np.ndarray") -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
-class AudioHashActor:
-    """Actor-pool audio-fingerprint stage mirroring ``AHashActor``."""
+def audiohash_batch(batch: pa.Table) -> pa.Table:
+    """Stateless audio-fingerprint stage mirroring ``ahash_batch``."""
+    from ..functions.audiocodec import decode_wav
+    from .dedup import band_rows_64
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.audiocodec import decode_wav
-        from .dedup import band_rows_64
-
-        ids, fps = [], []
-        for did, payload in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            samples, _ = decode_wav(payload)
-            ids.append(int(did.rsplit("-", 1)[1]))
-            fps.append(audiohash64(samples))
-        return band_rows_64(np.asarray(ids, np.int64),
-                            np.asarray(fps, np.uint64))
+    ids, fps = [], []
+    for did, payload in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        samples, _ = decode_wav(payload)
+        ids.append(int(did.rsplit("-", 1)[1]))
+        fps.append(audiohash64(samples))
+    return band_rows_64(np.asarray(ids, np.int64),
+                        np.asarray(fps, np.uint64))
 
 
 def near_dup_audio(sf_dir: str, max_hamming: int = 3):
@@ -366,7 +377,8 @@ def near_dup_audio(sf_dir: str, max_hamming: int = 3):
     simhash / image ahash / audio energy-delta hash all share
     ``dedup.hamming_pairs_64``)."""
     return near_dup_audio_from_media(
-        media_refs_from_documents(sf_dir), max_hamming)
+        media_refs_from_documents(sf_dir, modalities=("audio",)),
+        max_hamming)
 
 
 def near_dup_audio_from_media(media_ds: "ray.data.Dataset",
@@ -381,9 +393,8 @@ def near_dup_audio_from_media(media_ds: "ray.data.Dataset",
     bands = (media_ds
              .map_batches(only_audio, batch_format="pyarrow",
                           zero_copy_batch=True)
-             .map_batches(AudioHashActor, batch_format="pyarrow",
-                          concurrency=(1, 4), batch_size=64,
-                          zero_copy_batch=True))
+             .map_batches(audiohash_batch, batch_format="pyarrow",
+                          batch_size=64, zero_copy_batch=True))
     return hamming_pairs_64(bands, max_hamming)
 
 
@@ -406,26 +417,25 @@ def videohash64(payload: bytes) -> int:
     return int(np.packbits(maj).view(np.uint64)[0])
 
 
-class VideoHashActor:
-    """Actor-pool video-fingerprint stage mirroring ``AHashActor``."""
+def videohash_batch(batch: pa.Table) -> pa.Table:
+    """Stateless video-fingerprint stage mirroring ``ahash_batch``."""
+    from .dedup import band_rows_64
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import band_rows_64
-
-        ids, fps = [], []
-        for did, payload in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            ids.append(int(did.rsplit("-", 1)[1]))
-            fps.append(videohash64(payload))
-        return band_rows_64(np.asarray(ids, np.int64),
-                            np.asarray(fps, np.uint64))
+    ids, fps = [], []
+    for did, payload in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        ids.append(int(did.rsplit("-", 1)[1]))
+        fps.append(videohash64(payload))
+    return band_rows_64(np.asarray(ids, np.int64),
+                        np.asarray(fps, np.uint64))
 
 
 def near_dup_videos(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate video pairs — the final modality leg of the
     shared-banding dedup family."""
     return near_dup_videos_from_media(
-        media_refs_from_documents(sf_dir), max_hamming)
+        media_refs_from_documents(sf_dir, modalities=("video",)),
+        max_hamming)
 
 
 def near_dup_videos_from_media(media_ds: "ray.data.Dataset",
@@ -440,7 +450,6 @@ def near_dup_videos_from_media(media_ds: "ray.data.Dataset",
     bands = (media_ds
              .map_batches(only_video, batch_format="pyarrow",
                           zero_copy_batch=True)
-             .map_batches(VideoHashActor, batch_format="pyarrow",
-                          concurrency=(1, 4), batch_size=64,
-                          zero_copy_batch=True))
+             .map_batches(videohash_batch, batch_format="pyarrow",
+                          batch_size=64, zero_copy_batch=True))
     return hamming_pairs_64(bands, max_hamming)
