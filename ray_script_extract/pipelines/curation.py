@@ -323,3 +323,118 @@ def export_curated(sf_dir: str, output_dir: str,
         "partitions_skipped": int(summary["skipped"].sum()),
         "rows_written": int(summary["rows"].sum()),
     }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split + sharded shuffle (training-data plumbing)
+# ---------------------------------------------------------------------------
+
+# exact integer bounds: train gets [0, 0.9·2^64), val [0.9, 0.95),
+# test the rest — the same constants are inlined into the SQL oracle
+_SPLIT_B1 = (2 ** 64 * 9) // 10
+_SPLIT_B2 = (2 ** 64 * 19) // 20
+
+
+def split_train_val_test(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment: each document
+    lands by the position of its md5 rank in the uint64 range.
+    Content-independent, reproducible without RNG, and ZERO shuffles —
+    the split is a pure function of doc_id, so this is a single
+    embarrassingly-parallel batch transform at any scale (the shape a
+    100 TB split must have; any design that sorts or shuffles to split
+    is doing O(N log N) work for an O(N) problem)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = _rank_hash(ids)
+        split = np.where(rk < np.uint64(_SPLIT_B1), "train",
+                         np.where(rk < np.uint64(_SPLIT_B2), "val",
+                                  "test"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN h < {_SPLIT_B1} THEN 'train'
+            WHEN h < {_SPLIT_B2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+_SHUFFLE_SEED = 7
+_N_SHARDS = 16
+
+
+def _shuffle_key(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded md5 rank ≡ DuckDB
+    ``md5_number_lower('<seed>:' || CAST(doc_id AS VARCHAR))``."""
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(f"{seed}:{int(d)}".encode()).digest()[8:],
+            "little") for d in doc_ids),
+        dtype=np.uint64, count=len(doc_ids))
+
+
+def shuffle_shards(sf_dir: str, seed: int = _SHUFFLE_SEED,
+                   n_shards: int = _N_SHARDS):
+    """Deterministic sharded global shuffle — the data-loader shape:
+    every document gets a (shard, pos) such that reading shards in
+    order of pos yields a seeded pseudorandom permutation.  Changing
+    ``seed`` reshuffles; same seed is bit-reproducible across runs and
+    cluster sizes.
+
+    ONE shuffle co-locates each shard (hash_partitioned_map on the
+    small int shard id); in-shard positions are exact ranks computed
+    by a single vectorized sort+cumcount per partition.  No global
+    sort: position is only ever needed WITHIN a shard (loaders consume
+    shards independently), so the O(N log N) all-to-all a total order
+    would cost is avoided by construction."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = _shuffle_key(ids, seed)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shard": pa.array((key % np.uint64(n_shards))
+                              .astype(np.int64), pa.int64()),
+            "__key": pa.array(key, pa.uint64()),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "__key", "doc_id"], kind="stable")
+        pos = df.groupby("shard", sort=False).cumcount()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "shard": df["shard"].to_numpy(),
+                             "pos": pos.to_numpy().astype(np.int64)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_partitioned_map(tagged, ["shard"], per_partition) \
+        .sort("doc_id")
+
+
+SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id,
+       CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+         ) - 1 AS BIGINT) AS pos
+FROM (SELECT doc_id,
+             md5_number_lower('{_SHUFFLE_SEED}:'
+                              || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+ORDER BY doc_id
+"""

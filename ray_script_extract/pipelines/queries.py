@@ -1697,9 +1697,13 @@ from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
     DEDUP_KEEP_BEST_SQL,
     SAMPLE_STRATIFIED_SQL,
+    SHUFFLE_SHARDS_SQL,
+    SPLIT_SQL,
     curate_corpus,
     dedup_exact_keep_best,
     sample_stratified,
+    shuffle_shards,
+    split_train_val_test,
 )
 
 from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
@@ -1713,6 +1717,8 @@ QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_stratified"] = sample_stratified
+QUERIES["split_train_val_test"] = split_train_val_test
+QUERIES["shuffle_shards"] = shuffle_shards
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
 QUERIES["dedup_components"] = dedup_components
@@ -1775,6 +1781,8 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "split_train_val_test": SPLIT_SQL,
+    "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
