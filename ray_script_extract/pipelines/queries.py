@@ -1426,6 +1426,74 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_CHUNK_SIZE = 128
+_CHUNK_STRIDE = 96
+
+
+def chunk_documents(sf_dir: str, size: int = _CHUNK_SIZE,
+                    stride: int = _CHUNK_STRIDE):
+    """Strided chunking for RAG / training prep: each document is cut
+    into windows of ``size`` whitespace tokens starting every
+    ``stride`` tokens (overlap = size - stride), last window clamped;
+    empty docs still yield one empty chunk.  Output
+    (doc_id, chunk_id, start_tok, end_tok) — token OFFSETS, so the
+    chunk table is a small index over the corpus, not a second copy of
+    the text.
+
+    Pure per-batch flat expansion (count tokens with the same RE2
+    kernel the token-stats oracle pins, then repeat/arange) — ZERO
+    shuffles; the trailing sort is presentation-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(
+            batch.column("text"), r"\S+"), pa.int64()).to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        n_chunks = np.where(
+            n_tok <= size, 1,
+            1 + (n_tok - (size - stride + 1)) // stride).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        cid = (np.arange(n_chunks.sum())
+               - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        start = cid * stride
+        end = np.minimum(start + size, n_tok[doc_idx])
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "chunk_id": pa.array(cid.astype(np.int64), pa.int64()),
+            "start_tok": pa.array(start.astype(np.int64), pa.int64()),
+            "end_tok": pa.array(end.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .sort(["doc_id", "chunk_id"])
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+              ELSE 1 + (n_tok - {_CHUNK_SIZE - _CHUNK_STRIDE + 1})
+                       // {_CHUNK_STRIDE} END AS n_chunks
+  FROM d),
+u AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE},
+                  n_tok) AS BIGINT) AS end_tok
+FROM u
+ORDER BY doc_id, chunk_id
+"""
+
+
 def word_frequency(sf_dir: str, k: int = 20):
     """Global top-k words: explode → groupby(word) count → sort/limit.
     The explode happens inside map_batches (Arrow split + flatten),
@@ -1666,6 +1734,7 @@ QUERIES: Dict[str, Callable] = {
     "events_props_k_stats": events_props_k_stats,
     "dedup_exact": dedup_exact,
     "doc_token_stats": doc_token_stats,
+    "chunk_documents": chunk_documents,
     "word_frequency": word_frequency,
     "doc_fingerprint": doc_fingerprint,
     "knn_cosine": knn_cosine,
@@ -1771,6 +1840,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_props_k_stats": EVENTS_PROPS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "word_frequency": WORD_FREQUENCY_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "knn_cosine": KNN_COSINE_SQL,
