@@ -484,6 +484,174 @@ ORDER BY p_brand
 """
 
 
+def small_qty_part_revenue(sf_dir: str):
+    """Correlated-aggregate self-join (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity, rolled up per brand.  The correlated subquery
+    (per-part AVG compared row-by-row) needs every row of a part in
+    one place, so it fuses into the part join's ``pre_left``: ONE
+    shuffle total — partition on partkey, compute the per-part avg and
+    the outlier filter vectorized inside the partition, reduce to one
+    row per part, merge with part, roll up to ≤ |brands| rows in
+    ``post``.  The avg comparison is integer-exact:
+    qty < 0.2 * (sq / cnt)  ⇔  qty * 5 * cnt < sq  (quantities are
+    integer-valued in the data, as in TPC-H)."""
+    from .joins import hash_join_via_groupby
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "qty_i": pa.array(qty.astype(np.int64), pa.int64()),
+            "rev_cents": pa.array(_cents_np(price), pa.int64()),
+        })
+
+    def correlated_filter(df: "pd.DataFrame") -> "pd.DataFrame":
+        # all rows of a part co-locate in this partition: the
+        # "subquery" is a groupby.transform, the filter a vector mask
+        g = df.groupby("l_partkey")["qty_i"]
+        sq = g.transform("sum").to_numpy()
+        cnt = g.transform("size").to_numpy()
+        small = df[df["qty_i"].to_numpy() * 5 * cnt < sq]
+        out = small.groupby("l_partkey", as_index=False) \
+                   .agg(qty_i=("qty_i", "size"), rev_cents=("rev_cents", "sum"))
+        return out  # qty_i now carries the per-part qualifying count
+
+    def brand_rollup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("p_brand", as_index=False) \
+                 .agg(sum_rev_cents=("rev_cents", "sum"),
+                      n_items=("qty_i", "sum"))
+
+    out = hash_join_via_groupby(
+        li.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True),
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+        "l_partkey", "p_partkey",
+        pre_left=correlated_filter, post=brand_rollup,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("qty_i", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string())]))
+    # ≤ |brands| rows per partition survive — bounded final reduce
+    return (out.groupby("p_brand")
+               .aggregate(Sum("sum_rev_cents", alias_name="sum_rev_cents"),
+                          Sum("n_items", alias_name="n_items"))
+               .sort("p_brand"))
+
+
+SMALL_QTY_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN pa USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * cnt < sq
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+_LARGE_ORDER_QTY = 250
+
+
+def large_orders_customers(sf_dir: str, min_qty: int = _LARGE_ORDER_QTY,
+                           k: int = 100):
+    """GROUP BY ... HAVING + join-back (TPC-H Q18 shape): orders whose
+    total lineitem quantity exceeds ``min_qty``, joined back to orders
+    and customer for the detail row, global top-k by order value.
+    Plan: per-block partial sums per orderkey → the HAVING filter
+    fuses into the orders join's ``pre_left`` (finish the sum, keep
+    qualifying orders only — a ~0.1% survivor set), → customer join →
+    per-partition top-k prune → bounded global sort/limit.  Two
+    shuffles (orderkey, custkey), both moving only survivors after the
+    first."""
+    from .joins import hash_join_via_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "sum_qty": pa.array(
+                batch.column("l_quantity").to_numpy(
+                    zero_copy_only=False).astype(np.int64), pa.int64()),
+        })
+        return _batch_partial(t, ["l_orderkey"], ["sum_qty"])
+
+    def having(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("l_orderkey", as_index=False) \
+              .agg({"sum_qty": "sum", "__n": "sum"})
+        return g[g["sum_qty"] > min_qty]
+
+    def order_detail(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.rename(columns={"l_orderkey": "o_orderkey"})
+        df["o_total_cents"] = _cents_np(df.pop("o_totalprice").to_numpy())
+        return df[["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_total_cents", "sum_qty"]]
+
+    joined = hash_join_via_groupby(
+        li.map_batches(qty_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "l_orderkey", "o_orderkey",
+        pre_left=having, post=order_detail,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sum_qty", pa.int64()),
+                               ("__n", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_totalprice", pa.float64())]))
+
+    def with_name(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[["c_name", "o_orderkey", "o_orderdate", "o_total_cents",
+                 "sum_qty"]]
+        # per-partition top-k prune: ≤ k rows feed the global sort
+        return df.sort_values(["o_total_cents", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+
+    out = hash_join_via_groupby(
+        joined, _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "o_custkey", "c_custkey", post=with_name,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_total_cents", pa.int64()),
+                               ("sum_qty", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string())]))
+    return out.sort(["o_total_cents", "o_orderkey"],
+                    descending=[True, False]).limit(k)
+
+
+LARGE_ORDERS_SQL = f"""
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS o_total_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {_LARGE_ORDER_QTY})
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_total_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q6_forecast_revenue(sf_dir: str):
     """Filtered aggregate with read-time pruning: only 3 columns leave
     storage; the filter is a vectorized Arrow kernel; the result is a
@@ -1717,6 +1885,8 @@ QUERIES: Dict[str, Callable] = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top_brands_by_revenue": top_brands_by_revenue,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "large_orders_customers": large_orders_customers,
     "distinct_part_types": distinct_part_types,
     "top_lineitems_by_price": top_lineitems_by_price,
     "union_key_accounts": union_key_accounts,
@@ -1823,6 +1993,8 @@ ORACLE_SQL: Dict[str, str] = {
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top_brands_by_revenue": TOP_BRANDS_SQL,
+    "small_qty_part_revenue": SMALL_QTY_SQL,
+    "large_orders_customers": LARGE_ORDERS_SQL,
     "distinct_part_types": DISTINCT_PART_TYPES_SQL,
     "top_lineitems_by_price": TOP_LINEITEMS_SQL,
     "union_key_accounts": UNION_ACCOUNTS_SQL,
