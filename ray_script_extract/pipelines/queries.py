@@ -1863,12 +1863,14 @@ from .analytics import (  # noqa: E402
 )
 from .multimodal import media_features, media_thumbnails  # noqa: E402
 from .text_analysis import (  # noqa: E402
+    BM25_SQL,
     DOC_QUALITY_SQL,
     LANGID_SQL,
     REPETITION_SQL,
     SHARED_PASSAGES_SQL,
     TFIDF_SQL,
     WINNOW_SQL,
+    bm25_search,
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
@@ -1951,6 +1953,7 @@ from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
 QUERIES["doc_repetition_signals"] = doc_repetition_signals
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
+QUERIES["bm25_search"] = bm25_search
 QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
@@ -2035,6 +2038,7 @@ ORACLE_SQL: Dict[str, str] = {
     "langid_ngram": LANGID_SQL,
     "doc_repetition_signals": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "bm25_search": BM25_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks

@@ -844,3 +844,157 @@ FROM pairs GROUP BY id_a, id_b
 HAVING COUNT(*) >= {_PASSAGE_MIN_SHARED}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (integer-quantized rational BM25)
+# ---------------------------------------------------------------------------
+# Classic BM25 needs ln() in the idf, which no two engines compute
+# bit-identically — so, like tfidf's quantized idf above, the scoring
+# is restated in EXACT integer arithmetic replicable in DuckDB BIGINT:
+#
+#   idf_q(t)   = (2*(N - df) + 1) * SCALE // (2*df + 1)
+#                (the Robertson idf ratio (N-df+0.5)/(df+0.5), scaled,
+#                 without the ln — rank-monotone in df, integer-exact)
+#   tf-part    = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#                with k1 = 6/5, b = 3/4 and avgdl = L/N this is the
+#                rational  22*tf*L / (10*tf*L + 3*L + 9*dl*N)
+#   score_q    = SUM_t  idf_q(t) * 22 * tf * L // (10*tf*L + 3*L + 9*dl*N)
+#
+# Overflow bound: idf_q*22*tf*L < 2^63 holds while N*SCALE*22*tf_max*L
+# stays under 9.2e18 — comfortable through sf1 (N=5e4, L=4.5e6 →
+# ~1.6e18); at larger corpora drop SCALE a decade per 100× docs.
+
+_BM25_TERMS = ("dup", "join", "vector", "stream")
+_BM25_SCALE = 10_000
+_BM25_K = 10
+
+
+def bm25_search(sf_dir: str, terms=_BM25_TERMS, k: int = _BM25_K):
+    """Top-k documents for a fixed keyword query under quantized BM25.
+
+    One text scan: each batch emits sparse postings (doc_id, term,
+    tf, dl) for the broadcast query terms (a tiny closure constant —
+    no index shuffle for ad-hoc search) plus ONE stats row per batch
+    (doc_id = -1 carrying the batch's doc count and token sum).  The
+    materialized projection is bounded by N*|terms| rows; corpus
+    stats (N, L) and per-term df reduce from it without touching the
+    text again.  Scoring is a shuffle-free map over the postings;
+    the per-doc sum rides ONE doc_id exchange on the keyed-op
+    backbone with a per-partition top-k prune, so the global sort
+    sees ≤ k rows per partition."""
+    import pandas as pd
+
+    from .joins import hash_partitioned_map
+
+    term_list = sorted(terms)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        seg = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        docix = np.repeat(np.arange(len(doc_ids), dtype=np.int64), seg)
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        docix = docix[valid]
+        dl = np.bincount(docix, minlength=len(doc_ids)).astype(np.int64)
+        hit = pc.is_in(flat, value_set=pa.array(term_list)) \
+            .to_numpy(zero_copy_only=False)[valid]
+        tfd = pd.DataFrame({
+            "d": docix[hit],
+            "term": np.asarray(flat.to_numpy(zero_copy_only=False))
+            [valid][hit],
+        }).groupby(["d", "term"], sort=False).size().reset_index(name="tf")
+        d = tfd["d"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([doc_ids[d], [-1]]), pa.int64()),
+            "term": pa.array(tfd["term"].tolist() + [""], pa.string()),
+            "tf": pa.array(
+                np.concatenate([tfd["tf"].to_numpy(np.int64),
+                                [len(doc_ids)]]), pa.int64()),
+            "dl": pa.array(
+                np.concatenate([dl[d], [int(dl.sum())]]), pa.int64()),
+        })
+
+    proj = docs.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # corpus stats: ≤ one row per input block
+    stats = proj.filter(expr="doc_id < 0") \
+        .groupby(None).aggregate(Sum("tf", alias_name="n"),
+                                 Sum("dl", alias_name="l")).to_pandas()
+    n_docs = int(stats["n"].iloc[0]) if len(stats) else 0
+    total_l = int(stats["l"].iloc[0]) if len(stats) else 0
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_q": pa.array([], pa.int64()),
+                      "n_terms": pa.array([], pa.int64())})
+    postings = proj.filter(expr="doc_id >= 0")
+
+    # df per query term: bounded |terms|-row aggregate
+    df_rows = postings.groupby("term") \
+        .aggregate(Count(alias_name="df")).to_pandas()
+    if not len(df_rows):
+        return ray.data.from_arrow(empty)
+    idf_q = {
+        t: (2 * (n_docs - int(c)) + 1) * _BM25_SCALE // (2 * int(c) + 1)
+        for t, c in zip(df_rows["term"], df_rows["df"])}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        idf = np.array([idf_q[t] for t in
+                        batch.column("term").to_pylist()], np.int64)
+        s = (idf * 22 * tf * total_l
+             // (10 * tf * total_l + 3 * total_l + 9 * dl * n_docs))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score_q": pa.array(s, pa.int64())})
+
+    def per_doc_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("doc_id", as_index=False) \
+              .agg(score_q=("score_q", "sum"), n_terms=("score_q", "size"))
+        return g.sort_values(["score_q", "doc_id"],
+                             ascending=[False, True]).head(k)
+
+    scored = hash_partitioned_map(
+        postings.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["doc_id"], per_doc_topk)
+    return scored.sort(["score_q", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
+BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT COALESCE(SUM(dl), 0) FROM dl) AS l),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('dup', 'join', 'stream', 'vector')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(((2*(n - df) + 1) * {_BM25_SCALE} // (2*df + 1))
+                  * 22 * tf * l
+                  // (10*tf*l + 3*l + 9*dl.dl*n)) AS BIGINT) AS score_q,
+         COUNT(*) AS n_terms
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score_q, n_terms
+FROM scored
+ORDER BY score_q DESC, doc_id
+LIMIT {_BM25_K}
+"""
