@@ -34,6 +34,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -100,6 +101,75 @@ SELECT lang, doc_id FROM (
          ) AS rk
   FROM documents) t
 WHERE rk <= {_DEFAULT_N_PER_KEY}
+ORDER BY lang, doc_id
+"""
+
+
+_TOKEN_BUDGET = 2_000
+
+
+def sample_token_budget(sf_dir: str, budget: int = _TOKEN_BUDGET):
+    """Training-mix construction: per language, take documents in
+    deterministic hash order until the TOKEN budget is reached — a
+    doc is kept iff the token sum of all docs BEFORE it (by (md5
+    rank, doc_id) within its language) is under ``budget``, so the
+    crossing doc is included and the result is a reproducible,
+    content-independent prefix sample of ~budget tokens per lang.
+
+    Plan: per-batch (lang, doc_id, n_tok, rank) projection with a
+    batch-local prune — a doc's in-batch prior cumsum is a LOWER
+    bound on its global prior, so rows already ≥ budget inside one
+    block can never qualify and are dropped before the shuffle.  Then
+    one lang exchange + vectorized per-partition sort/cumsum.  The
+    greedy prefix needs a global order within each language, so the
+    reduce width is |langs| — but the shuffle moves 3 ints + the rank
+    per doc (never text), an O(N) metadata exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = pc.cast(pc.count_substring_regex(
+            batch.column("text"), r"\S+"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "doc_id": ids,
+            "n_tok": n_tok,
+            "__rk": _rank_hash(ids),
+        }).sort_values(["lang", "__rk", "doc_id"], kind="stable")
+        prior = (df.groupby("lang", sort=False)["n_tok"].cumsum()
+                 - df["n_tok"])
+        df = df[prior < budget]
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                       ("n_tok", pa.int64()), ("__rk", pa.uint64())]))
+
+    def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "__rk", "doc_id"], kind="stable")
+        prior = (df.groupby("lang", sort=False)["n_tok"].cumsum()
+                 - df["n_tok"])
+        return df[prior < budget][["lang", "doc_id", "n_tok"]]
+
+    tagged = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_partitioned_map(tagged, ["lang"], take_prefix) \
+        .sort(["lang", "doc_id"])
+
+
+SAMPLE_TOKEN_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM d)
+SELECT lang, doc_id, n_tok FROM c
+WHERE prior < {_TOKEN_BUDGET}
 ORDER BY lang, doc_id
 """
 

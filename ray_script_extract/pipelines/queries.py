@@ -1938,11 +1938,13 @@ from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
     DEDUP_KEEP_BEST_SQL,
     SAMPLE_STRATIFIED_SQL,
+    SAMPLE_TOKEN_BUDGET_SQL,
     SHUFFLE_SHARDS_SQL,
     SPLIT_SQL,
     curate_corpus,
     dedup_exact_keep_best,
     sample_stratified,
+    sample_token_budget,
     shuffle_shards,
     split_train_val_test,
 )
@@ -1959,6 +1961,7 @@ QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_stratified"] = sample_stratified
+QUERIES["sample_token_budget"] = sample_token_budget
 QUERIES["split_train_val_test"] = split_train_val_test
 QUERIES["shuffle_shards"] = shuffle_shards
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
@@ -2026,6 +2029,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
     "split_train_val_test": SPLIT_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
