@@ -1863,6 +1863,7 @@ from .analytics import (  # noqa: E402
 )
 from .multimodal import media_features, media_thumbnails  # noqa: E402
 from .text_analysis import (  # noqa: E402
+    BIGRAM_COVERAGE_SQL,
     BM25_SQL,
     DOC_QUALITY_SQL,
     LANGID_SQL,
@@ -1871,6 +1872,7 @@ from .text_analysis import (  # noqa: E402
     TFIDF_SQL,
     WINNOW_SQL,
     bm25_search,
+    doc_bigram_coverage,
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
@@ -1956,6 +1958,7 @@ from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 QUERIES["doc_repetition_signals"] = doc_repetition_signals
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 QUERIES["bm25_search"] = bm25_search
+QUERIES["doc_bigram_coverage"] = doc_bigram_coverage
 QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
@@ -2043,6 +2046,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_repetition_signals": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": BM25_SQL,
+    "doc_bigram_coverage": BIGRAM_COVERAGE_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks

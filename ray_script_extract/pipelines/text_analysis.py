@@ -998,3 +998,182 @@ FROM scored
 ORDER BY score_q DESC, doc_id
 LIMIT {_BM25_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram coverage (n-gram-LM-flavored fluency signal)
+# ---------------------------------------------------------------------------
+# A cheap stand-in for LM-perplexity filtering (CCNet/KenLM style)
+# with EXACT integer semantics: for each document, how many of its
+# adjacent-token bigram occurrences appear at least `min_count` times
+# in the whole corpus (own occurrences included)?  Fluent text reuses
+# common collocations; garbled or boilerplate-stitched text is full of
+# corpus-unique bigrams.  Output (doc_id, n_bigrams, n_covered) — the
+# caller thresholds the ratio; keeping the two integers (not the
+# float ratio) is what keeps the oracle exact.
+
+_BG_MIN_COUNT = 2
+_BG_BROADCAST_ROWS = 2_000_000  # same budget as the tfidf vocab
+
+
+def _bigram_rows(batch: pa.Table):
+    """(doc_ids, docix, bigram strings) for a documents batch —
+    adjacent-token pairs within each doc, tokenization identical to
+    _tf_batch."""
+    import pandas as pd
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+    seg = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    docix = np.repeat(np.arange(len(doc_ids), dtype=np.int64), seg)
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    docix = docix[valid]
+    words = np.asarray(flat.to_numpy(zero_copy_only=False))[valid]
+    if len(words) < 2:
+        return doc_ids, np.empty(0, np.int64), np.empty(0, object)
+    adj = docix[:-1] == docix[1:]
+    bg = (pd.Series(words[:-1][adj]) + " "
+          + pd.Series(words[1:][adj])).to_numpy(dtype=object)
+    return doc_ids, docix[:-1][adj], bg
+
+
+def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
+                        force_join: bool = False):
+    """Per-doc bigram coverage counts (doc_id, n_bigrams, n_covered).
+
+    Same hybrid as tfidf: global bigram counts reduce from per-batch
+    partials on the keyed backbone; if the bigram vocabulary fits the
+    broadcast budget the coverage pass is SHUFFLE-FREE (sorted
+    (bigram, count) arrays via ray.put, searchsorted + bincount per
+    batch); otherwise occurrences join counts on one bigram exchange
+    and per-doc sums ride a doc_id exchange, with zero-stub rows
+    keeping bigram-less docs in the result (`force_join` pins the
+    scale path in tests)."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, _, bg = _bigram_rows(batch)
+        c = pd.Series(bg).value_counts()
+        return pa.table({
+            "bg": pa.array(c.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(c.to_numpy(np.int64), pa.int64()),
+        })
+
+    cnt_tbl = groupby_agg_partitioned(
+        docs.map_batches(partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bg"], {"c": "sum"}).materialize()
+
+    if cnt_tbl.count() <= _BG_BROADCAST_ROWS and not force_join:
+        tabs = [t for t in ray.get(cnt_tbl.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            vdf = pa.concat_tables(tabs).to_pandas() \
+                .sort_values("bg", kind="stable")
+            handle = ray.put((vdf["bg"].to_numpy(dtype=object),
+                              vdf["c"].to_numpy(np.int64)))
+        else:
+            handle = ray.put((np.empty(0, object), np.empty(0, np.int64)))
+
+        def cover(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            bgs, cs = ray.get(handle)
+            doc_ids, dix, bg = _bigram_rows(batch)
+            n_docs = len(doc_ids)
+            if len(bg) and len(bgs):
+                pos = np.minimum(np.searchsorted(bgs, bg), len(bgs) - 1)
+                hit = (bgs[pos] == bg) & (cs[pos] >= min_count)
+            else:
+                hit = np.zeros(len(bg), bool)
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_bigrams": pa.array(
+                    np.bincount(dix, minlength=n_docs).astype(np.int64),
+                    pa.int64()),
+                "n_covered": pa.array(
+                    np.bincount(dix, weights=hit.astype(np.float64),
+                                minlength=n_docs).astype(np.int64),
+                    pa.int64()),
+            })
+
+        return docs.map_batches(cover, batch_format="pyarrow",
+                                zero_copy_batch=True).sort("doc_id")
+
+    # ---- scale path: occurrences join counts by bigram ---------------
+    def occurrences(batch: pa.Table) -> pa.Table:
+        doc_ids, dix, bg = _bigram_rows(batch)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[dix] if len(dix) else
+                               np.empty(0, np.int64), pa.int64()),
+            "bg": pa.array(bg, pa.string()),
+            "c": pa.array(np.zeros(len(bg), np.int64), pa.int64()),
+        })
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cnt_tagged = cnt_tbl.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+            "bg": t.column("bg"),
+            "c": t.column("c"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_cover(part: pd.DataFrame) -> pd.DataFrame:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        left = part[part["doc_id"] >= 0][["doc_id", "bg"]]
+        right = part[part["doc_id"] < 0][["bg", "c"]]
+        m = left.merge(right, on="bg", how="inner")
+        g = m.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("c", "size"),
+            n_covered=("c", lambda s: int((s >= min_count).sum())))
+        return g
+
+    joined = hash_partitioned_map(occ.union(cnt_tagged), ["bg"], join_cover)
+
+    # zero stubs keep bigram-less docs in the result
+    stubs = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_bigrams": pa.array(
+                np.zeros(len(b), np.int64), pa.int64()),
+            "n_covered": pa.array(
+                np.zeros(len(b), np.int64), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    return hash_partitioned_map(
+        joined.union(stubs), ["doc_id"],
+        lambda d: d.groupby("doc_id", as_index=False)
+                   .agg({"n_bigrams": "sum", "n_covered": "sum"})) \
+        .sort("doc_id")
+
+
+BIGRAM_COVERAGE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tok),
+cnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg),
+cov AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN c >= {_BG_MIN_COUNT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM big JOIN cnt USING (bg) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(cov.n_bigrams, 0) AS n_bigrams,
+       COALESCE(cov.n_covered, 0) AS n_covered
+FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+ORDER BY d.doc_id
+"""
