@@ -292,6 +292,43 @@ def broadcast_int_lookup(path: str, key_col: str, val_col: str,
     return ray.put((keys[order], vals[order]))
 
 
+def broadcast_lookup_table(path: str, key_col: str, val_cols: List[str],
+                           budget_rows: int = _BROADCAST_LOOKUP_ROWS):
+    """General form of ``broadcast_int_lookup``: budgeted broadcast of
+    an int-keyed dimension with ARBITRARY value columns (strings
+    included).  Ships (sorted keys, {col: values-in-key-order}) via
+    ray.put once; map tasks probe with ``lookup_sorted_cols``.
+    Returns None past the footer-metadata row budget (caller falls
+    back to the partitioned shuffle join) — same contract that keeps
+    the q5 hybrid legal at 100 TB."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if pq.ParquetFile(path).metadata.num_rows > budget_rows:
+        return None
+    t = pq.read_table(path, columns=[key_col] + list(val_cols))
+    keys = np.asarray(t[key_col], dtype=np.int64)
+    order = np.argsort(keys)
+    vals = {c: t.column(c).take(pa.array(order)) for c in val_cols}
+    return ray.put((keys[order], vals))
+
+
+def lookup_sorted_cols(handle, probe: np.ndarray) -> dict:
+    """Map-side probe against a broadcast_lookup_table handle: returns
+    {col: pa.Array} aligned with ``probe``.  Missing keys raise (the
+    callers join on foreign keys with referential integrity)."""
+    import ray
+
+    keys, vals = ray.get(handle)
+    pos = np.searchsorted(keys, probe)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    if not np.array_equal(keys[pos_c], probe):
+        raise KeyError("lookup_sorted_cols: probe key missing from dimension")
+    idx = pa.array(pos_c)
+    return {c: v.take(idx) for c, v in vals.items()}
+
+
 def lookup_sorted(handle, probe: np.ndarray) -> np.ndarray:
     """Map-side join probe against a broadcast_int_lookup handle:
     vectorized searchsorted; missing keys raise (the callers join on

@@ -565,17 +565,19 @@ _LARGE_ORDER_QTY = 250
 
 
 def large_orders_customers(sf_dir: str, min_qty: int = _LARGE_ORDER_QTY,
-                           k: int = 100):
+                           k: int = 100, force_shuffle: bool = False):
     """GROUP BY ... HAVING + join-back (TPC-H Q18 shape): orders whose
     total lineitem quantity exceeds ``min_qty``, joined back to orders
     and customer for the detail row, global top-k by order value.
     Plan: per-block partial sums per orderkey → the HAVING filter
     fuses into the orders join's ``pre_left`` (finish the sum, keep
-    qualifying orders only — a ~0.1% survivor set), → customer join →
-    per-partition top-k prune → bounded global sort/limit.  Two
-    shuffles (orderkey, custkey), both moving only survivors after the
-    first."""
-    from .joins import hash_join_via_groupby
+    qualifying orders only — a ~0.1% survivor set) → customer name
+    via the budgeted-broadcast hybrid (survivors are tiny, so
+    shuffling the WHOLE customer table for them is the q5 dims
+    anti-pattern; footer-checked broadcast while customer fits, the
+    partitioned join past the budget / under ``force_shuffle``) →
+    per-block top-k prune → bounded global sort/limit."""
+    from .joins import broadcast_lookup_table, hash_join_via_groupby
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
@@ -614,23 +616,48 @@ def large_orders_customers(sf_dir: str, min_qty: int = _LARGE_ORDER_QTY,
                                 ("o_orderdate", pa.timestamp("us")),
                                 ("o_totalprice", pa.float64())]))
 
-    def with_name(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df[["c_name", "o_orderkey", "o_orderdate", "o_total_cents",
-                 "sum_qty"]]
-        # per-partition top-k prune: ≤ k rows feed the global sort
-        return df.sort_values(["o_total_cents", "o_orderkey"],
-                              ascending=[False, True]).head(k)
-
-    out = hash_join_via_groupby(
-        joined, _read(sf_dir, "customer", ["c_custkey", "c_name"]),
-        "o_custkey", "c_custkey", post=with_name,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
+    joined_schema = pa.schema([("o_orderkey", pa.int64()),
                                ("o_custkey", pa.int64()),
                                ("o_orderdate", pa.timestamp("us")),
                                ("o_total_cents", pa.int64()),
-                               ("sum_qty", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_name", pa.string())]))
+                               ("sum_qty", pa.int64())])
+    cust_handle = None if force_shuffle else broadcast_lookup_table(
+        f"{sf_dir}/customer.parquet", "c_custkey", ["c_name"])
+
+    if cust_handle is not None:
+        from .joins import lookup_sorted_cols as _lsc
+
+        def name_topk(batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "c_name": _lsc(cust_handle, ck)["c_name"],
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_total_cents": batch.column("o_total_cents"),
+                "sum_qty": batch.column("sum_qty"),
+            })
+            # per-block top-k prune: ≤ k rows feed the global sort
+            idx = pc.sort_indices(
+                t, sort_keys=[("o_total_cents", "descending"),
+                              ("o_orderkey", "ascending")])[:k]
+            return t.take(idx)
+
+        out = joined.map_batches(name_topk, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        def with_name(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df[["c_name", "o_orderkey", "o_orderdate",
+                     "o_total_cents", "sum_qty"]]
+            # per-partition top-k prune: ≤ k rows feed the global sort
+            return df.sort_values(["o_total_cents", "o_orderkey"],
+                                  ascending=[False, True]).head(k)
+
+        out = hash_join_via_groupby(
+            joined, _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+            "o_custkey", "c_custkey", post=with_name,
+            left_schema=joined_schema,
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_name", pa.string())]))
     return out.sort(["o_total_cents", "o_orderkey"],
                     descending=[True, False]).limit(k)
 

@@ -123,3 +123,9 @@ def test_having_threshold_and_tiebreak(tmp_path):
     assert got["o_orderkey"].tolist() == [3, 4, 2]
     assert got["c_name"].tolist() == ["carol", "carol", "bob"]
     assert got["sum_qty"].tolist() == [300, 300, 251]
+
+    # the partitioned-shuffle customer join (the past-broadcast-budget
+    # plan) must return exactly the broadcast plan's result
+    shuf = large_orders_customers(str(tmp_path), force_shuffle=True) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(shuf.astype(cast), got.astype(cast))
