@@ -797,6 +797,106 @@ def union_key_accounts(sf_dir: str):
                    .sort(["role", "nationkey"]))
 
 
+def intersect_repeat_buyers(sf_dir: str):
+    """INTERSECT (set op): customers who placed BOTH a 1-URGENT and a
+    5-LOW order.  Per-batch partial collapses to one (custkey,
+    any_urgent, any_low) row per key per block, so the single custkey
+    exchange moves flag bits, never order rows; the per-partition
+    reduce is an OR-fold + both-present filter."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        u = pc.equal(pri, "1-URGENT").to_numpy(zero_copy_only=False)
+        l = pc.equal(pri, "5-LOW").to_numpy(zero_copy_only=False)
+        keep = u | l
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False)[keep],
+            "u": u[keep].astype(np.int64),
+            "l": l[keep].astype(np.int64),
+        }).groupby("o_custkey", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("o_custkey", pa.int64()), ("u", pa.int64()),
+                       ("l", pa.int64())]))
+
+    def both(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("o_custkey", as_index=False).max()
+        return g[(g["u"] > 0) & (g["l"] > 0)][["o_custkey"]]
+
+    return hash_partitioned_map(
+        ds.map_batches(flags_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_custkey"], both).sort("o_custkey")
+
+
+INTERSECT_BUYERS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY o_custkey
+"""
+
+
+def orders_above_global_avg(sf_dir: str):
+    """Scalar-subquery compare: per priority, how many orders (and
+    how much value) sit above the GLOBAL average order value.  The
+    global average broadcasts as two driver scalars from a
+    constant-size partial aggregate; the compare is integer-exact
+    (cents * N > total_cents avoids the division).  Second pass is a
+    shuffle of ≤ |priorities| partial rows per block."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def global_partial(batch: pa.Table) -> pa.Table:
+        c = _cents_np(batch.column("o_totalprice")
+                      .to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "tot": pa.array([int(c.sum())], pa.int64())})
+
+    g = (ds.map_batches(global_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(None)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("tot", alias_name="tot"))).to_pandas()
+    n_orders, total_cents = int(g["n"].iloc[0]), int(g["tot"].iloc[0])
+
+    def above_partial(batch: pa.Table) -> pa.Table:
+        c = _cents_np(batch.column("o_totalprice")
+                      .to_numpy(zero_copy_only=False))
+        keep = c * n_orders > total_cents
+        t = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority")
+            .filter(pa.array(keep)),
+            "sum_cents": pa.array(c[keep], pa.int64()),
+        })
+        return _batch_partial(t, ["o_orderpriority"], ["sum_cents"])
+
+    return (ds.map_batches(above_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("o_orderpriority")
+              .aggregate(Sum("__n", alias_name="n_above"),
+                         Sum("sum_cents", alias_name="sum_cents"))
+              .sort("o_orderpriority"))
+
+
+ABOVE_AVG_SQL = """
+WITH t AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+s AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS tot FROM t)
+SELECT o_orderpriority,
+       COUNT(*) AS n_above,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM t CROSS JOIN s
+WHERE c * n > tot
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 UNION_ACCOUNTS_SQL = """
 SELECT role, nationkey, COUNT(*) AS n_accounts,
        CAST(SUM(CAST(FLOOR(acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents
@@ -1921,6 +2021,8 @@ QUERIES: Dict[str, Callable] = {
     "distinct_part_types": distinct_part_types,
     "top_lineitems_by_price": top_lineitems_by_price,
     "union_key_accounts": union_key_accounts,
+    "intersect_repeat_buyers": intersect_repeat_buyers,
+    "orders_above_global_avg": orders_above_global_avg,
     "events_by_type": events_by_type,
     "daily_event_counts": daily_event_counts,
     "events_sessionize": events_sessionize,
@@ -2034,6 +2136,8 @@ ORACLE_SQL: Dict[str, str] = {
     "distinct_part_types": DISTINCT_PART_TYPES_SQL,
     "top_lineitems_by_price": TOP_LINEITEMS_SQL,
     "union_key_accounts": UNION_ACCOUNTS_SQL,
+    "intersect_repeat_buyers": INTERSECT_BUYERS_SQL,
+    "orders_above_global_avg": ABOVE_AVG_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "daily_event_counts": DAILY_EVENTS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
