@@ -508,3 +508,116 @@ FROM (SELECT doc_id,
       FROM documents)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-mix preparation (the engine's user story)
+# ---------------------------------------------------------------------------
+
+def prep_training_mix(sf_dir: str, budget: int = _TOKEN_BUDGET,
+                      window: int | None = None):
+    """The full curation chain as ONE pipeline: quality filter →
+    keep-best exact dedup → per-language token-budget prefix →
+    context-window packing of the selected stream.  Output
+    (doc_id, lang, n_tokens, bin_first, bin_last) — exactly the doc
+    set and window layout a training run would consume.
+
+    One text scan; after it, only int/16-byte projections move: the
+    fp exchange (keep-best), the lang exchange (budget prefix), then
+    the packing pair (bounded bucket-sum reduce + one bucket
+    exchange) over a MATERIALIZED ≤ selected-rows projection.  Every
+    stage reuses the proven single-operator plan, and the composed
+    SQL oracle chains the same CTEs the pieces pin individually."""
+    from .packing import _BUCKET_WIDTH, _WINDOW, pack_token_stream
+
+    if window is None:
+        window = _WINDOW
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_tokens, n_stop, n_long = quality_metrics(batch.column("text"))
+        denom = np.maximum(n_tokens, 1)
+        ok = ((n_tokens >= 5)
+              & (np.floor(100.0 * n_stop / denom) <= 40)
+              & (np.floor(100.0 * n_long / denom) <= 50))
+        kept = batch.filter(pa.array(ok))
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fp": pa.array(_fingerprints(kept.column("text")), pa.string()),
+            "doc_id": kept.column("doc_id"),
+            "lang": kept.column("lang"),
+            "n_chars": kept.column("n_chars"),
+            "n_tokens": pa.array(n_tokens[ok], pa.int64()),
+            "__rk": pa.array(_rank_hash(ids), pa.uint64()),
+        })
+
+    def keep_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        best = df.groupby("fp", sort=False).head(1)
+        return best[["doc_id", "lang", "n_tokens", "__rk"]]
+
+    def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "__rk", "doc_id"], kind="stable")
+        prior = (df.groupby("lang", sort=False)["n_tokens"].cumsum()
+                 - df["n_tokens"])
+        sel = df[prior < budget][["doc_id", "lang", "n_tokens"]].copy()
+        sel["bucket"] = sel["doc_id"].to_numpy() // _BUCKET_WIDTH
+        return sel
+
+    tagged = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    winners = hash_partitioned_map(tagged, ["fp"], keep_best)
+    selected = hash_partitioned_map(winners, ["lang"], take_prefix) \
+        .materialize()  # small int projection, consumed twice by pack
+    return pack_token_stream(selected, window, extra_cols=("lang",))
+
+
+PREP_TRAINING_MIX_SQL = """
+WITH m AS (
+  SELECT doc_id, lang, n_chars, text,
+         regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n_chars, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
+         len(list_filter(toks, x -> length(x) >= 8)) AS n_long
+  FROM m
+), ok AS (
+  SELECT doc_id, lang, n_chars, n_tokens, text FROM q
+  WHERE n_tokens >= 5
+    AND FLOOR(100.0 * n_stop / GREATEST(n_tokens, 1)) <= 40
+    AND FLOOR(100.0 * n_long / GREATEST(n_tokens, 1)) <= 50
+), kept AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM ok
+), win AS (
+  SELECT doc_id, lang, n_tokens,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM kept WHERE rk = 1
+), bud AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM win
+), sel AS (
+  SELECT doc_id, lang, n_tokens FROM bud WHERE prior < {budget}
+), pk AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM sel
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(s // {window} AS BIGINT) AS bin_first,
+       CAST((s + GREATEST(n_tokens, 1) - 1) // {window} AS BIGINT) AS bin_last
+FROM pk ORDER BY doc_id
+""".format(stop_list=_STOP_SQL_LIST, budget=_TOKEN_BUDGET, window=512)

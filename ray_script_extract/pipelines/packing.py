@@ -60,9 +60,19 @@ def pack_context_windows(sf_dir: str, window: int = _WINDOW):
     """``(doc_id, n_tokens, bin_first, bin_last)``: the first and last
     context window (0-based, ``window`` tokens each) the doc occupies
     in the doc_id-ordered concatenated token stream."""
-    from .joins import groupby_agg_partitioned
+    return pack_token_stream(_token_counts(sf_dir), window)
 
-    tokens = _token_counts(sf_dir)
+
+def pack_token_stream(tokens: "ray.data.Dataset", window: int = _WINDOW,
+                      extra_cols: "tuple[str, ...]" = ()):
+    """Two-pass window assignment over ANY (doc_id, n_tokens, bucket)
+    dataset — the packing core, shared by ``pack_context_windows``
+    (whole corpus) and ``prep_training_mix`` (a curated subset).
+    ``extra_cols`` are carried through unchanged (doc-aligned).
+    ``tokens`` is consumed twice (bucket sums, then the bucket-wise
+    assignment), so callers chaining it after shuffles should pass a
+    MATERIALIZED small projection."""
+    from .joins import groupby_agg_partitioned
 
     # pass 1: per-bucket sums → driver cumsum (bounded, see module doc)
     sums = groupby_agg_partitioned(
@@ -76,17 +86,22 @@ def pack_context_windows(sf_dir: str, window: int = _WINDOW):
                      dtype=np.int64)
     table[bucket_ids] = offsets
 
+    out_cols = ("doc_id", "n_tokens", "bin_first", "bin_last")
+
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id", kind="stable")
         n = df["n_tokens"].to_numpy()
         start = (np.cumsum(n) - n) + table[df["bucket"].to_numpy()]
         last = start + np.maximum(n, 1) - 1
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "n_tokens": n,
             "bin_first": start // window,
             "bin_last": last // window,
         })
+        for c in extra_cols:
+            out[c] = df[c].to_numpy()
+        return out
 
     # pass 2: exact within-bucket cumsum + the broadcast offsets.
     # hash_partitioned_map may put several buckets in one partition;
@@ -94,9 +109,11 @@ def pack_context_windows(sf_dir: str, window: int = _WINDOW):
     # orders within each bucket, but the cumsum must reset, so group.
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({c: np.array([], np.int64) for c in
-                                 ("doc_id", "n_tokens",
-                                  "bin_first", "bin_last")})
+            out = pd.DataFrame({c: np.array([], np.int64)
+                                for c in out_cols})
+            for c in extra_cols:
+                out[c] = np.array([], object)
+            return out
         return pd.concat(
             [assign(g) for _, g in df.groupby("bucket", sort=True)],
             ignore_index=True)

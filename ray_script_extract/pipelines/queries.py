@@ -2068,12 +2068,14 @@ QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
 from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
     DEDUP_KEEP_BEST_SQL,
+    PREP_TRAINING_MIX_SQL,
     SAMPLE_STRATIFIED_SQL,
     SAMPLE_TOKEN_BUDGET_SQL,
     SHUFFLE_SHARDS_SQL,
     SPLIT_SQL,
     curate_corpus,
     dedup_exact_keep_best,
+    prep_training_mix,
     sample_stratified,
     sample_token_budget,
     shuffle_shards,
@@ -2094,6 +2096,7 @@ QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["sample_token_budget"] = sample_token_budget
+QUERIES["prep_training_mix"] = prep_training_mix
 QUERIES["split_train_val_test"] = split_train_val_test
 QUERIES["shuffle_shards"] = shuffle_shards
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
@@ -2164,6 +2167,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_winnow_fingerprints": WINNOW_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
+    "prep_training_mix": PREP_TRAINING_MIX_SQL,
     "split_train_val_test": SPLIT_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
