@@ -2186,3 +2186,404 @@ ORACLE_SQL: Dict[str, str] = {
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: nation-pair volume (Q7 shape), EXCEPT set op,
+# lag/inter-event gaps, grouped COUNT DISTINCT, quantile band filter
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_3",
+                     nation_b: str = "NATION_7",
+                     force_shuffle: bool = False):
+    """TPC-H Q7 shape: shipping volume between two nations in BOTH
+    directions, grouped by (supplier nation, customer nation, ship
+    year).  The distinguishing feature vs q5 is the cross-pair
+    predicate over TWO independent dimension paths (supplier side on
+    lineitem, customer side on orders) — both sides are pruned to the
+    two target nations BEFORE the fact-fact join, so the single
+    all-to-all (lineitem⨝orders on orderkey) moves ~ (2/|nation|)² of
+    the data.  Dimensions ride the budgeted broadcast hybrid
+    (``broadcast_int_lookup``), falling back to partitioned shuffle
+    joins past the footer-row budget; ``force_shuffle`` pins the twin
+    path for tests."""
+    import pyarrow.parquet as pq
+
+    from .joins import (broadcast_int_lookup, hash_join_via_groupby,
+                        lookup_sorted)
+
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation_t["n_nationkey"].to_pylist(),
+                     nation_t["n_name"].to_pylist()))
+    by_name = {v: k for k, v in names.items()}
+    ka, kb = by_name[nation_a], by_name[nation_b]
+
+    supp_handle = None if force_shuffle else broadcast_int_lookup(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    cust_handle = None if force_shuffle else broadcast_int_lookup(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def _years(ship: np.ndarray) -> np.ndarray:
+        return ship.astype("datetime64[Y]").astype(np.int64) + 1970
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("s_nat", pa.int64()),
+                           ("l_year", pa.int64()),
+                           ("vol_cents", pa.int64())])
+
+    if supp_handle is not None:
+        def li_pre_b(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            s_nat = lookup_sorted(supp_handle, supp)
+            keep = (s_nat == ka) | (s_nat == kb)
+            price = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)[keep]
+            disc = batch.column("l_discount") \
+                .to_numpy(zero_copy_only=False)[keep]
+            ship = batch.column("l_shipdate") \
+                .to_numpy(zero_copy_only=False)[keep]
+            t = pa.table({
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey")
+                    .to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "s_nat": pa.array(s_nat[keep], pa.int64()),
+                "l_year": pa.array(_years(ship), pa.int64()),
+                "vol_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                      pa.int64()),
+            })
+            g = t.group_by(["l_orderkey", "s_nat", "l_year"]) \
+                .aggregate([("vol_cents", "sum")])
+            return g.rename_columns(["l_orderkey", "s_nat", "l_year",
+                                     "vol_cents"])
+
+        li_pre = li.map_batches(li_pre_b, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        def li_cents(batch: pa.Table) -> pa.Table:
+            price = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_year": pa.array(_years(ship), pa.int64()),
+                "vol_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                      pa.int64()),
+            })
+
+        def li_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df[(df["s_nationkey"] == ka) | (df["s_nationkey"] == kb)]
+            g = df.groupby(["l_orderkey", "s_nationkey", "l_year"],
+                           as_index=False)["vol_cents"].sum()
+            return g.rename(columns={"s_nationkey": "s_nat"})
+
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        li_pre = hash_join_via_groupby(
+            li.map_batches(li_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            supp, "l_suppkey", "s_suppkey", post=li_reduce,
+            left_schema=pa.schema([("l_suppkey", pa.int64()),
+                                   ("l_orderkey", pa.int64()),
+                                   ("l_year", pa.int64()),
+                                   ("vol_cents", pa.int64())]),
+            right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                    ("s_nationkey", pa.int64())]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    if cust_handle is not None:
+        def orders_nat_b(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            c_nat = lookup_sorted(cust_handle, ck)
+            keep = (c_nat == ka) | (c_nat == kb)
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey")
+                    .to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "c_nat": pa.array(c_nat[keep], pa.int64()),
+            })
+
+        orders_nat = orders.map_batches(orders_nat_b,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        def o_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df[(df["c_nationkey"] == ka) | (df["c_nationkey"] == kb)]
+            return df[["o_orderkey", "c_nationkey"]] \
+                .rename(columns={"c_nationkey": "c_nat"})
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        orders_nat = hash_join_via_groupby(
+            orders, cust, "o_custkey", "c_custkey", post=o_reduce,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
+
+    def cross_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        # both sides are already ∈ {ka, kb}; keep opposite-nation pairs
+        df = df[df["s_nat"] != df["c_nat"]]
+        return df.groupby(["s_nat", "c_nat", "l_year"],
+                          as_index=False)["vol_cents"].sum()
+
+    joined = hash_join_via_groupby(
+        li_pre, orders_nat, "l_orderkey", "o_orderkey",
+        post=cross_pairs,
+        left_schema=li_schema,
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int64())]))
+
+    # ≤ 2 × |years| rows per partition survive — constant-size final
+    agg = (joined.to_pandas()
+           .groupby(["s_nat", "c_nat", "l_year"], as_index=False)
+           ["vol_cents"].sum())
+    agg["supp_nation"] = [names[int(k)] for k in agg["s_nat"]]
+    agg["cust_nation"] = [names[int(k)] for k in agg["c_nat"]]
+    out = (agg[["supp_nation", "cust_nation", "l_year", "vol_cents"]]
+           .rename(columns={"vol_cents": "volume_cents"})
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    return out
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def except_urgent_only_buyers(sf_dir: str):
+    """EXCEPT (set difference): customers with a 1-URGENT order but NO
+    5-LOW order — the set-op family's third member next to UNION and
+    INTERSECT.  Same shuffle shape as ``intersect_repeat_buyers``:
+    per-block flag partials collapse to one row per custkey per block,
+    ONE custkey exchange moves flag bits, and the per-partition reduce
+    is an OR-fold + present-minus-present filter."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        u = pc.equal(pri, "1-URGENT").to_numpy(zero_copy_only=False)
+        l = pc.equal(pri, "5-LOW").to_numpy(zero_copy_only=False)
+        keep = u | l
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False)[keep],
+            "u": u[keep].astype(np.int64),
+            "l": l[keep].astype(np.int64),
+        }).groupby("o_custkey", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("o_custkey", pa.int64()), ("u", pa.int64()),
+                       ("l", pa.int64())]))
+
+    def urgent_minus_low(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("o_custkey", as_index=False).max()
+        return g[(g["u"] > 0) & (g["l"] == 0)][["o_custkey"]]
+
+    return hash_partitioned_map(
+        ds.map_batches(flags_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_custkey"], urgent_minus_low).sort("o_custkey")
+
+
+EXCEPT_BUYERS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY o_custkey
+"""
+
+
+def events_user_gaps(sf_dir: str):
+    """LAG window shape: per-user inter-event time gaps (count, max
+    gap, total span in µs).  One shuffle co-locates each user's rows
+    (``hash_partitioned_map``); the per-partition reduce is a single
+    vectorized sort + diff over ALL users of the partition with a
+    first-row-per-user mask — no per-user Python loop.  Gap stats are
+    order-stable under timestamp ties (the sorted ts sequence, hence
+    its consecutive-difference multiset, is tie-order invariant), so
+    the SQL LAG oracle matches exactly."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "n_events": np.array([], np.int64),
+                                 "max_gap_us": np.array([], np.int64),
+                                 "span_us": np.array([], np.int64)})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[first] = 0
+        g = (pd.DataFrame({"user_id": uid, "gap": gap})
+             .groupby("user_id", as_index=False, sort=False)
+             .agg(n_events=("gap", "count"), max_gap_us=("gap", "max"),
+                  span_us=("gap", "sum")))
+        return g
+
+    return hash_partitioned_map(ds, ["user_id"], per_partition) \
+        .sort("user_id")
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS span_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def users_per_event_type(sf_dir: str):
+    """Grouped COUNT(DISTINCT): distinct users + total events per
+    event type.  Classic two-level shape: per-block partial collapses
+    to (type, user, cnt) — bounded by the block's distinct pairs —
+    then ONE user-keyed exchange makes each pair globally unique
+    within its partition, so the per-partition reduce emits exact
+    (type, n_users, n_events) partials and the driver folds ≤
+    |types| × |partitions| constant-size rows."""
+    from .joins import hash_partitioned_map
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["event_type", "user_id", "cnt"])
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        pairs = df.groupby(["event_type", "user_id"],
+                           as_index=False)["cnt"].sum()
+        g = pairs.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "count"), n_events=("cnt", "sum"))
+        return g
+
+    parts = hash_partitioned_map(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], per_partition)
+    out = (parts.to_pandas()
+           .groupby("event_type", as_index=False).sum()
+           .sort_values("event_type").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
+USERS_PER_EVENT_TYPE_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def filter_length_band(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9):
+    """Quantile band filter: keep documents whose length sits between
+    the global p10 and p90 — the two-pass shape every quality-band
+    curation step uses.  Pass 1 builds an EXACT value histogram of
+    ``n_chars`` (per-block ``np.unique`` partial → one keyed exchange
+    of (value, count) partials → driver cumsum over ≤ |distinct
+    lengths| rows, bounded by max doc length, never by corpus size).
+    Pass 2 streams the filter with the two thresholds as closure
+    constants.  Threshold rank replicates DuckDB ``quantile_disc``
+    bit-exactly: 1-indexed ``ceil(q*n)`` evaluated in the same double
+    arithmetic."""
+    import math
+
+    from .joins import groupby_agg_partitioned
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch.column("n_chars").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"n_chars": pa.array(v.astype(np.int64), pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (groupby_agg_partitioned(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars"], {"cnt": "sum"})
+        .to_pandas().sort_values("n_chars"))
+    vals = counts["n_chars"].to_numpy()
+    cum = counts["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+
+    def thresh(q: float) -> int:
+        target = math.ceil(q * n)  # == DuckDB quantile_disc rank
+        return int(vals[int(np.searchsorted(cum, target, side="left"))])
+
+    lo, hi = thresh(q_lo), thresh(q_hi)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars")
+        return batch.filter(pc.and_(pc.greater_equal(nc, pa.scalar(lo)),
+                                    pc.less_equal(nc, pa.scalar(hi))))
+
+    return docs.map_batches(band, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
+FILTER_LENGTH_BAND_SQL = """
+WITH b AS (
+  SELECT quantile_disc(n_chars, 0.1) AS lo,
+         quantile_disc(n_chars, 0.9) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars BETWEEN lo AND hi
+ORDER BY doc_id
+"""
+
+
+QUERIES["q7_nation_volume"] = q7_nation_volume
+QUERIES["except_urgent_only_buyers"] = except_urgent_only_buyers
+QUERIES["events_user_gaps"] = events_user_gaps
+QUERIES["users_per_event_type"] = users_per_event_type
+QUERIES["filter_length_band"] = filter_length_band
+
+ORACLE_SQL["q7_nation_volume"] = Q7_SQL
+ORACLE_SQL["except_urgent_only_buyers"] = EXCEPT_BUYERS_SQL
+ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL
+ORACLE_SQL["users_per_event_type"] = USERS_PER_EVENT_TYPE_SQL
+ORACLE_SQL["filter_length_band"] = FILTER_LENGTH_BAND_SQL

@@ -1,0 +1,78 @@
+"""Round-3 additions: q7 nation-pair volume (both dimension paths),
+the EXCEPT set op, lag gaps, grouped COUNT DISTINCT, and the quantile
+band filter — each vs a DuckDB oracle at sf0.001, plus the q7
+broadcast/shuffle twin pin (the sf gate only exercises whichever path
+the budget selects)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("lineitem", "orders", "supplier", "customer", "nation",
+          "events", "documents")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _df(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q7_broadcast_equals_shuffle_and_oracle():
+    from ray_script_extract.pipelines.queries import (Q7_SQL,
+                                                      q7_nation_volume)
+
+    fast = _df(q7_nation_volume(SF)).reset_index(drop=True)
+    slow = _df(q7_nation_volume(SF, force_shuffle=True)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    con = _duck()
+    oracle = con.sql(Q7_SQL).df()
+    pd.testing.assert_frame_equal(fast, oracle, check_dtype=True,
+                                  check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ["except_urgent_only_buyers",
+                                  "events_user_gaps",
+                                  "users_per_event_type",
+                                  "filter_length_band"])
+def test_new_ops_match_oracle(name):
+    from ray_script_extract.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = _df(QUERIES[name](SF)).reset_index(drop=True)
+    con = _duck()
+    want = con.sql(ORACLE_SQL[name]).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True,
+                                  check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_band_quantile_rank_edges(tmp_path):
+    """The histogram-rank threshold must replicate DuckDB
+    quantile_disc on an n where ceil(q*n) and floor(q*(n-1))+1
+    disagree (n=2, q=0.51 picks the SECOND element)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.queries import filter_length_band
+
+    d = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "n_chars": pa.array([10, 20], pa.int64()),
+    }), str(d))
+    out = _df(filter_length_band(str(tmp_path), q_lo=0.51, q_hi=1.0))
+    # lo = quantile_disc(0.51) = 20 → only doc 2 survives
+    assert out["doc_id"].tolist() == [2]
+    assert out["n_chars"].tolist() == [20]
