@@ -258,3 +258,137 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM train JOIN bench USING (h)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter variant: bounded-memory membership
+# ---------------------------------------------------------------------------
+
+# 1 MiB bitmap (2^23 bits) — CONSTANT regardless of benchmark size.
+_BLOOM_BITS = 1 << 23
+_BLOOM_HASHES = 4
+# driver OR-fold fan-in: build partials tree-reduce to this many
+# groups before the constant-size driver fold
+_BLOOM_FANIN = 64
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int,
+                     n_hash: int) -> np.ndarray:
+    """(n_hash, len(h)) bit positions via double hashing of the 31-bit
+    shingle hash (Kirsch–Mitzenmacher: h1 + i*h2 needs only two
+    independent mixes for the classic FP bound).  Pure uint64
+    arithmetic — identical on every worker, so the filter is
+    deterministic."""
+    h = h.astype(np.uint64)
+    h1 = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(11)
+    h2 = ((h * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(7)) \
+        | np.uint64(1)
+    out = np.empty((n_hash, len(h)), dtype=np.uint64)
+    for i in range(n_hash):
+        out[i] = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+    return out
+
+
+def decontaminate_bloom(sf_dir: str, k: int = 3,
+                        m_bits: int = _BLOOM_BITS,
+                        n_hash: int = _BLOOM_HASHES):
+    """Bloom-filter decontamination: ``(doc_id, n_flagged)`` for
+    training docs with ≥1 PROBABLE benchmark shingle.
+
+    The bounded-memory middle path of the decontamination family:
+    ``decontaminate_ngrams``'s broadcast plan ships the benchmark's
+    FULL distinct-hash set (grows with the benchmark) and its fallback
+    pays a full pair shuffle; this variant ships a CONSTANT-size
+    bitmap (default 1 MiB) no matter how large the benchmark is, at
+    the cost of one-sided error.  Guarantee: NO false negatives —
+    every exactly-contaminated doc is flagged with
+    ``n_flagged ≥ n_hits`` (bits are only ever set, never cleared);
+    false-positive rate follows (1-e^{-kn/m})^k and is pinned by
+    ``tests/test_decontam.py`` (superset property at a deliberately
+    tiny m, equality to exact at the default m on testdata).
+
+    Build: benchmark docs stream through one map pass emitting
+    per-block bitmap partials; a ``_BLOOM_FANIN``-way keyed OR-reduce
+    collapses them so the driver folds ≤ 64 constant-size rows (never
+    one row per block).  Probe: the corpus streams through one
+    shuffle-free membership pass against the ray.put bitmap."""
+    n_words = m_bits // 64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % _BENCH_MOD == 0
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "bloom": pa.array([], pa.binary())})
+        if not sel.any():
+            return empty
+        texts = batch.filter(pa.array(sel)).column("text").to_pylist()
+        _, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) == 0:
+            return empty
+        pos = _bloom_positions(np.unique(hashes), m_bits, n_hash).ravel()
+        words = np.zeros(n_words, np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({
+            "g": pa.array([int(ids[sel][0]) % _BLOOM_FANIN], pa.int64()),
+            "bloom": pa.array([words.tobytes()], pa.binary()),
+        })
+
+    def or_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        acc = np.zeros(n_words, np.uint64)
+        for buf in df["bloom"]:
+            acc |= np.frombuffer(buf, np.uint64)
+        return pd.DataFrame({"g": [int(df["g"].iloc[0])],
+                             "bloom": [acc.tobytes()]})
+
+    from .joins import hash_partitioned_map
+
+    partials = hash_partitioned_map(
+        ds.map_batches(bloom_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g"], or_group, num_partitions=_BLOOM_FANIN).to_pandas()
+    words = np.zeros(n_words, np.uint64)
+    for buf in partials["bloom"]:
+        words |= np.frombuffer(buf, np.uint64)
+    bloom_ref = ray.put(words)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        bloom = ray.get(bloom_ref)  # zero-copy object-store view
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % _BENCH_MOD != 0
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_flagged": pa.array([], pa.int64())})
+        if not sel.any():
+            return empty
+        kept = batch.filter(pa.array(sel))
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = kept.column("text").to_pylist()
+        doc_idx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) == 0:
+            return empty
+        pos = _bloom_positions(hashes, m_bits, n_hash)
+        hit = np.ones(len(hashes), dtype=bool)
+        for i in range(n_hash):
+            w = bloom[(pos[i] >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+        if not hit.any():
+            return empty
+        n = np.bincount(doc_idx[hit], minlength=len(texts)) \
+            .astype(np.int64)
+        nz = n > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_flagged": pa.array(n[nz], pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

@@ -2587,3 +2587,10 @@ ORACLE_SQL["except_urgent_only_buyers"] = EXCEPT_BUYERS_SQL
 ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL
 ORACLE_SQL["users_per_event_type"] = USERS_PER_EVENT_TYPE_SQL
 ORACLE_SQL["filter_length_band"] = FILTER_LENGTH_BAND_SQL
+
+from .decontam import decontaminate_bloom  # noqa: E402
+
+# rows-only: a bloom bitmap is not SQL-expressible; the no-false-
+# negative superset property vs the exact twin is pinned in
+# tests/test_decontam.py
+QUERIES["decontaminate_bloom"] = decontaminate_bloom

@@ -94,3 +94,44 @@ def test_bench_set_is_distinct_and_sorted(tmp_path):
     assert (np.diff(h) > 0).all()
     # 10-word + 9-word bench docs → 8 + 7 distinct shingles
     assert len(h) == 15
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_superset_and_default_exactness(tmp_path):
+    """Bloom guarantees: NO false negatives at any m (every exactly-
+    contaminated doc flagged, n_flagged >= n_hits), and at the default
+    1 MiB bitmap the tiny testdata shingle vocabulary makes it exactly
+    the broadcast result (deterministic, so not flaky)."""
+    import pandas as pd
+
+    from ray_script_extract.pipelines.decontam import (
+        decontaminate_bloom,
+        decontaminate_ngrams,
+    )
+
+    for sf_dir in (_write_corpus(tmp_path), "/root/testdata/sf0.001"):
+        exact = decontaminate_ngrams(sf_dir)
+        exact = exact.to_pandas() if not isinstance(exact, pd.DataFrame) \
+            else exact
+        bloom = decontaminate_bloom(sf_dir).to_pandas()
+
+        # default-m: zero observed false positives on this vocab →
+        # bit-identical to exact (deterministic hashing, stable)
+        pd.testing.assert_frame_equal(
+            exact.reset_index(drop=True).rename(
+                columns={"n_hits": "n_flagged"}),
+            bloom.reset_index(drop=True))
+
+        # deliberately tiny bitmap (2^10 bits): false positives now
+        # occur, but the superset property must hold
+        tiny = decontaminate_bloom(sf_dir, m_bits=1 << 10).to_pandas()
+        e = dict(zip(exact["doc_id"], exact["n_hits"]))
+        t = dict(zip(tiny["doc_id"], tiny["n_flagged"]))
+        for doc, n in e.items():
+            assert doc in t and t[doc] >= n, \
+                f"false negative: doc {doc} exact={n} bloom={t.get(doc)}"
+
+        # determinism: same filter, same flags
+        again = decontaminate_bloom(sf_dir, m_bits=1 << 10).to_pandas()
+        pd.testing.assert_frame_equal(tiny.reset_index(drop=True),
+                                      again.reset_index(drop=True))
