@@ -54,3 +54,42 @@ def test_parquet_fallback_roundtrip(tmp_path):
     ds = read_corpus(d)
     assert ds.count() == 40
     assert set(ds.schema().names) >= {"doc_id", "spans"}
+
+
+def test_lance_dispatch_wiring(monkeypatch):
+    """Prove the Lance branch's WIRING without the package: with a
+    mock ``lance`` module present, read_corpus must call
+    ``ray.data.read_lance`` (not the parquet fallback) and
+    write_corpus must call ``Dataset.write_lance`` — so a container
+    WITH lance takes the production path with zero code changes."""
+    import sys
+    import types
+
+    import ray.data
+
+    from ray_script_extract.pipelines import extract_pipeline as ep
+
+    fake = types.ModuleType("lance")
+    monkeypatch.setitem(sys.modules, "lance", fake)
+
+    calls = {}
+
+    def fake_read_lance(path):
+        calls["read"] = path
+        return "LANCE_DS"
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance,
+                        raising=False)
+    assert ep.read_corpus("/tmp/corpus.lance") == "LANCE_DS"
+    assert calls["read"] == "/tmp/corpus.lance"
+
+    class FakeDS:
+        def write_lance(self, path):
+            calls["write"] = path
+
+        def write_parquet(self, path):
+            calls["write_pq"] = path
+
+    ep.write_corpus(FakeDS(), "/tmp/out.lance")
+    assert calls["write"] == "/tmp/out.lance"
+    assert "write_pq" not in calls
