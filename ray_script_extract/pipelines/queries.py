@@ -2594,3 +2594,68 @@ from .decontam import decontaminate_bloom  # noqa: E402
 # negative superset property vs the exact twin is pinned in
 # tests/test_decontam.py
 QUERIES["decontaminate_bloom"] = decontaminate_bloom
+
+
+def customer_urgent_counts(sf_dir: str):
+    """LEFT OUTER join with a real null surface: EVERY customer with
+    the count + cents total of their 1-URGENT orders — zero rows for
+    customers who never placed one (the sf tables have no orderless
+    customers, so the priority filter is what makes unmatched left
+    rows actually occur).  Orders pre-collapse per (block, custkey)
+    map-side; customer is the probe side of ONE partitioned shuffle
+    join (``how="left"``, zero-fill pads + nullable-Int64 surface from
+    ``hash_join_via_groupby``); the per-partition ``post`` finishes
+    the per-customer reduce with fillna(0) — no second shuffle."""
+    from .joins import hash_join_via_groupby
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def urgent_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "cents": pa.array(_cents_np(tp), pa.int64()),
+        })
+        return _batch_partial(tbl, ["o_custkey"], ["cents"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype(np.int64),
+            # unmatched customers arrive as nullable Int64 → 0
+            "n_urgent": df["__n"].fillna(0).astype(np.int64),
+            "urgent_cents": df["cents"].fillna(0).astype(np.int64),
+        })
+        return out.groupby("c_custkey", as_index=False).sum()
+
+    joined = hash_join_via_groupby(
+        cust,
+        orders.map_batches(urgent_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "c_custkey", "o_custkey", how="left", post=finish,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("cents", pa.int64()),
+                                ("__n", pa.int64())]))
+    return joined.sort("c_custkey")
+
+
+CUSTOMER_URGENT_SQL = """
+WITH u AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT c_custkey,
+       CAST(COUNT(u.o_custkey) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(SUM(u.cents), 0) AS BIGINT) AS urgent_cents
+FROM customer LEFT JOIN u ON u.o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+QUERIES["customer_urgent_counts"] = customer_urgent_counts
+ORACLE_SQL["customer_urgent_counts"] = CUSTOMER_URGENT_SQL
