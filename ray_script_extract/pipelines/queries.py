@@ -2659,3 +2659,110 @@ GROUP BY c_custkey ORDER BY c_custkey
 
 QUERIES["customer_urgent_counts"] = customer_urgent_counts
 ORACLE_SQL["customer_urgent_counts"] = CUSTOMER_URGENT_SQL
+
+
+def customer_spend_rank(sf_dir: str, force_shuffle: bool = False):
+    """DENSE_RANK window shape: every ordering customer ranked by
+    total spend WITHIN their nation (ties share a rank, no gaps).
+
+    One keyed exchange when the customer dimension fits the broadcast
+    budget: per-block (custkey, cents) partials get their nationkey
+    map-side, then a single nation-partitioned reduce finishes the
+    per-customer sum AND the dense rank (vectorized: sort + new-value
+    flags + cumsum rebased at nation starts — no per-nation loop).
+    Past the budget (or ``force_shuffle``) the nationkey rides a
+    partitioned join first (two exchanges).
+
+    Scale note: ranking within a partition key requires co-locating
+    that key's FULL domain, so the per-task frame is bounded by the
+    largest nation's customer count — fine for bounded dimensions
+    like nation (the TPC-H spec fixes 25); for high-cardinality
+    partitions use grouped top-k (`top_orders_per_priority`) or the
+    quantile sketch instead of a total rank."""
+    from .joins import (broadcast_int_lookup, hash_join_via_groupby,
+                        hash_partitioned_map, lookup_sorted)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": pa.array(_cents_np(tp), pa.int64()),
+        })
+        g = t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    partials = orders.map_batches(spend_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    cust_handle = None if force_shuffle else broadcast_int_lookup(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+
+    if cust_handle is not None:
+        def add_nat(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "c_nat", pa.array(lookup_sorted(cust_handle, ck),
+                                  pa.int64()))
+
+        tagged = partials.map_batches(add_nat, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        tagged = hash_join_via_groupby(
+            partials, cust, "o_custkey", "c_custkey",
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("cents", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())])) \
+            .map_batches(lambda b: b.rename_columns(
+                ["o_custkey", "cents", "c_nat"]), batch_format="pyarrow")
+
+    def rank_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.groupby(["c_nat", "o_custkey"], as_index=False)["cents"]
+               .sum()
+               .rename(columns={"o_custkey": "c_custkey",
+                                "cents": "spend_cents"}))
+        g = g.sort_values(["c_nat", "spend_cents", "c_custkey"],
+                          ascending=[True, False, True],
+                          kind="stable").reset_index(drop=True)
+        nat = g["c_nat"].to_numpy()
+        sp = g["spend_cents"].to_numpy()
+        n = len(g)
+        if n == 0:
+            g["rnk"] = np.array([], np.int64)
+            return g
+        new_nat = np.empty(n, dtype=bool)
+        new_nat[0] = True
+        new_nat[1:] = nat[1:] != nat[:-1]
+        new_val = new_nat.copy()
+        new_val[1:] |= sp[1:] != sp[:-1]
+        r = np.cumsum(new_val)
+        starts = np.flatnonzero(new_nat)
+        base = np.repeat(r[starts] - 1, np.diff(np.append(starts, n)))
+        g["rnk"] = (r - base).astype(np.int64)
+        return g
+
+    ranked = hash_partitioned_map(tagged, ["c_nat"], rank_partition)
+    return ranked.sort(["c_nat", "rnk", "c_custkey"])
+
+
+CUSTOMER_SPEND_RANK_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nat, c_custkey, spend_cents,
+       CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey
+                               ORDER BY spend_cents DESC) AS BIGINT) AS rnk
+FROM s JOIN customer ON c_custkey = o_custkey
+ORDER BY c_nat, rnk, c_custkey
+"""
+
+QUERIES["customer_spend_rank"] = customer_spend_rank
+ORACLE_SQL["customer_spend_rank"] = CUSTOMER_SPEND_RANK_SQL

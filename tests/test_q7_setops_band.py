@@ -76,3 +76,46 @@ def test_length_band_quantile_rank_edges(tmp_path):
     # lo = quantile_disc(0.51) = 20 → only doc 2 survives
     assert out["doc_id"].tolist() == [2]
     assert out["n_chars"].tolist() == [20]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spend_rank_ties_and_twin(tmp_path):
+    """DENSE_RANK semantics under crafted ties (shared rank, no gap)
+    plus the broadcast/shuffle twin pin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.queries import customer_spend_rank
+
+    # nation 0: custs 1,2 tie at 20.00, cust 3 at 10.00 → ranks 1,1,2
+    # nation 1: cust 4 alone → rank 1
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([15.0, 5.0, 20.0, 10.0, 7.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+
+    out = _df(customer_spend_rank(str(tmp_path))).reset_index(drop=True)
+    assert out["c_custkey"].tolist() == [1, 2, 3, 4]
+    assert out["rnk"].tolist() == [1, 1, 2, 1]
+    assert out["spend_cents"].tolist() == [2000, 2000, 1000, 700]
+
+    twin = _df(customer_spend_rank(str(tmp_path), force_shuffle=True)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, twin)
+
+    # sf table vs oracle (both paths)
+    for force in (False, True):
+        got = _df(customer_spend_rank(SF, force_shuffle=force)) \
+            .reset_index(drop=True)
+        from ray_script_extract.pipelines.queries import \
+            CUSTOMER_SPEND_RANK_SQL
+        con = _duck()
+        want = con.sql(CUSTOMER_SPEND_RANK_SQL).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=True,
+                                      check_exact=True)
