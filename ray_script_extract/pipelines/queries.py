@@ -2766,3 +2766,42 @@ ORDER BY c_nat, rnk, c_custkey
 
 QUERIES["customer_spend_rank"] = customer_spend_rank
 ORACLE_SQL["customer_spend_rank"] = CUSTOMER_SPEND_RANK_SQL
+
+
+def q1_cube(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets
+    — finest, per-flag, per-status, grand total.  Same plan shape as
+    ``q1_rollup``: the fact table is scanned ONCE (q1's per-block
+    cents partials, ≤6-row shuffle) and every coarser set is a pure
+    re-sum of the ≤|RF×LS| finest rows on the driver — the extra
+    grouping set costs nothing at any scale."""
+    fin = q1_pricing_summary(sf_dir).to_pandas()
+    lv_flag = fin.groupby("l_returnflag", as_index=False)[_Q1_MEASURES].sum()
+    lv_flag["l_linestatus"] = "ALL"
+    lv_status = fin.groupby("l_linestatus",
+                            as_index=False)[_Q1_MEASURES].sum()
+    lv_status["l_returnflag"] = "ALL"
+    tot = fin[_Q1_MEASURES].sum().to_frame().T
+    tot["l_returnflag"] = "ALL"
+    tot["l_linestatus"] = "ALL"
+    out = pd.concat([fin, lv_flag, lv_status, tot], ignore_index=True)[
+        ["l_returnflag", "l_linestatus"] + _Q1_MEASURES]
+    out[_Q1_MEASURES] = out[_Q1_MEASURES].astype(np.int64)
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+               .reset_index(drop=True))
+
+
+Q1_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+QUERIES["q1_cube"] = q1_cube
+ORACLE_SQL["q1_cube"] = Q1_CUBE_SQL
