@@ -119,3 +119,41 @@ def test_spend_rank_ties_and_twin(tmp_path):
         want = con.sql(CUSTOMER_SPEND_RANK_SQL).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                       check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audit_detectors_fire(tmp_path):
+    """Each audit check must count its violations exactly on a
+    deliberately corrupted corpus (the sf tables audit clean, so the
+    gate alone never exercises the detectors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.queries import audit_documents
+
+    pq.write_table(pa.table({
+        # doc_id 7 appears 3 times (2 extra dups); 5 docs total
+        "doc_id": pa.array([7, 7, 7, 1, 2], pa.int64()),
+        # one empty text; one n_chars mismatch (doc 1 says 99);
+        # utf8 length is CHARACTERS (é is 1), matching DuckDB length()
+        "text": pa.array(["abé", "abé", "abé", "xy", ""], pa.string()),
+        "lang": pa.array(["en", "en", "xx", "fr", "yy"], pa.string()),
+        "n_chars": pa.array([3, 3, 3, 99, 0], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = audit_documents(str(tmp_path))
+    got = dict(zip(out["check_name"], out["n_violations"]))
+    assert got == {"dup_doc_id": 2, "empty_text": 1,
+                   "n_chars_mismatch": 1, "unknown_lang": 2}
+
+    # and the SQL oracle agrees on the corrupted table too
+    import duckdb
+
+    from ray_script_extract.pipelines.queries import AUDIT_DOCUMENTS_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    want = con.sql(AUDIT_DOCUMENTS_SQL).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=True,
+                                  check_exact=True)
