@@ -59,20 +59,55 @@ def _encrypt_objects(objects: List[bytes], mode: str):
 
     from .pdfcrypto import (
         StandardDecryptor,
+        aes_cbc_encrypt_raw,
         compute_file_key,
         compute_o,
         compute_u,
+        hash_2b,
     )
 
-    modes = {"rc4-40": (1, 2, 5, "rc4"), "rc4-128": (2, 3, 16, "rc4"),
-             "aesv2": (4, 4, 16, "aesv2")}
-    v, r, key_len, method = modes[mode]
     p = -44
     id0 = bytes(range(16))
-    o = compute_o(b"", b"", r, key_len)
-    fk = compute_file_key(b"", o, p, id0, r, key_len)
-    u = compute_u(fk, id0, r)
-    enc = StandardDecryptor(fk, method)
+    if mode == "aes256":
+        # ISO 32000-2 /V 5 /R 6 with empty user AND owner passwords:
+        # deterministic salts/file key (fixtures must be reproducible)
+        fk = bytes((i * 37 + 11) & 0xFF for i in range(32))
+        vs, ks = b"uVal8slt", b"uKey8slt"
+        ovs, oks = b"oVal8slt", b"oKey8slt"
+        u = hash_2b(b"", vs, b"") + vs + ks
+        ue = aes_cbc_encrypt_raw(hash_2b(b"", ks, b""), b"\x00" * 16, fk)
+        o = hash_2b(b"", ovs, u) + ovs + oks
+        oe = aes_cbc_encrypt_raw(hash_2b(b"", oks, u), b"\x00" * 16, fk)
+        perms = aes_cbc_encrypt_raw(           # one block ≡ ECB
+            fk, b"\x00" * 16,
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadb0123")
+        ed = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+              b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+              b"/StmF /StdCF /StrF /StdCF "
+              b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P %d >>"
+              % (o.hex().encode(), u.hex().encode(), oe.hex().encode(),
+                 ue.hex().encode(), perms.hex().encode(), p))
+        enc = StandardDecryptor(fk, "aesv3")
+    else:
+        modes = {"rc4-40": (1, 2, 5, "rc4"), "rc4-128": (2, 3, 16, "rc4"),
+                 "aesv2": (4, 4, 16, "aesv2")}
+        v, r, key_len, method = modes[mode]
+        o = compute_o(b"", b"", r, key_len)
+        fk = compute_file_key(b"", o, p, id0, r, key_len)
+        u = compute_u(fk, id0, r)
+        common = b"/O <%s> /U <%s> /P %d" % (o.hex().encode(),
+                                             u.hex().encode(), p)
+        if mode == "rc4-40":
+            ed = b"<< /Filter /Standard /V 1 /R 2 " + common + b" >>"
+        elif mode == "rc4-128":
+            ed = b"<< /Filter /Standard /V 2 /R 3 /Length 128 " \
+                + common + b" >>"
+        else:
+            ed = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                  b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                  b"/StmF /StdCF /StrF /StdCF " + common + b" >>")
+        enc = StandardDecryptor(fk, method)
 
     out: List[bytes] = []
     for i, body in enumerate(objects):
@@ -94,17 +129,6 @@ def _encrypt_objects(objects: List[bytes], mode: str):
                 + b">",
                 body)
         out.append(body)
-    common = b"/O <%s> /U <%s> /P %d" % (o.hex().encode(),
-                                         u.hex().encode(), p)
-    if mode == "rc4-40":
-        ed = b"<< /Filter /Standard /V 1 /R 2 " + common + b" >>"
-    elif mode == "rc4-128":
-        ed = b"<< /Filter /Standard /V 2 /R 3 /Length 128 " \
-            + common + b" >>"
-    else:
-        ed = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-              b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-              b"/StmF /StdCF /StrF /StdCF " + common + b" >>")
     out.append(ed)
     return out, len(out), id0
 

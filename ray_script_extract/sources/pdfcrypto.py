@@ -11,11 +11,16 @@ Covers:
   password, /O and /U generation used by the fixture builder and the
   password check);
 * per-object keys (Algorithm 1, incl. the AESV2 ``sAlT`` suffix);
-* RC4 and pure-Python AES-128-CBC (both directions: the reader
-  decrypts, the test fixture builder encrypts).
+* /V 5 AES-256 (AESV3, ISO 32000-2): revision 5's SHA-256 check and
+  revision 6's Algorithm 2.B hardened hash, /U validation + /UE file
+  key unwrap — the file key is used directly (no per-object
+  derivation);
+* RC4 and pure-Python AES-128/192/256-CBC (FIPS-197 Appendix C
+  vectors pinned in tests; both directions: the reader decrypts, the
+  test fixture builder encrypts).
 
 Everything here is driver/worker-local pure computation — no Ray
-surface.  Non-empty passwords and /V 5 (AES-256) raise.
+surface.  Non-empty passwords raise.
 """
 
 from __future__ import annotations
@@ -84,14 +89,22 @@ def _mul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> "list[bytes]":
-    words = [key[i:i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for Nk ∈ {4, 6, 8} (AES-128/192/256):
+    Nr = Nk + 6 rounds, with the extra SubWord step every Nk words
+    when Nk > 6 (§5.2)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    total = 4 * (nr + 1)
+    words = [key[i:i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, total):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(_SBOX[b] for b in t[1:] + t[:1])
-            t = bytes([t[0] ^ _RCON[i // 4 - 1]]) + t[1:]
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[i:i + 4]) for i in range(0, 44, 4)]
+            t = bytes([t[0] ^ _RCON[i // nk - 1]]) + t[1:]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[i:i + 4]) for i in range(0, total, 4)]
 
 
 def _add_rk(state: bytearray, rk: bytes) -> None:
@@ -104,9 +117,10 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
     _add_rk(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
         for c in range(0, 16, 4):
             a0, a1, a2, a3 = s[c:c + 4]
@@ -116,14 +130,15 @@ def _encrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
             s[c + 3] = _mul(a0, 3) ^ a1 ^ a2 ^ _mul(a3, 2)
         _add_rk(s, rks[rnd])
     s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
-    _add_rk(s, rks[10])
+    _add_rk(s, rks[nr])
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
-    _add_rk(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add_rk(s, rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
         _add_rk(s, rks[rnd])
         for c in range(0, 16, 4):
@@ -167,6 +182,51 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if 1 <= pad <= 16:
         out = out[:-pad]
     return bytes(out)
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC, NO padding, NO IV prefix (len(data) % 16 == 0) — the
+    primitive Algorithm 2.B and the /UE//OE wrapping use."""
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(block, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of aes_cbc_encrypt_raw (no padding, explicit IV)."""
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks),
+                                           prev))
+        prev = block
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (revision 6 hardened hash): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round, ≥ 64 rounds,
+    terminating once the last cipher byte ≤ round − 32.  The AES core
+    is FIPS-197-pinned above and the SHA-2 family comes from hashlib,
+    so the only handler-specific logic here is the loop itself."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ---------------------------------------------------------------------------
@@ -229,15 +289,23 @@ def object_key(file_key: bytes, num: int, gen: int,
 
 class StandardDecryptor:
     """Holds the derived file key; decrypts per-object payloads.
-    ``method`` is "rc4" or "aesv2"."""
+    ``method`` is "rc4", "aesv2" or "aesv3" (AESV3 uses the 32-byte
+    file key for every object — ISO 32000-2 drops the per-object
+    derivation)."""
 
     def __init__(self, file_key: bytes, method: str) -> None:
         self.file_key = file_key
         self.method = method
 
+    def _key(self, num: int, gen: int) -> bytes:
+        if self.method == "aesv3":
+            return self.file_key
+        return object_key(self.file_key, num, gen,
+                          aes=self.method == "aesv2")
+
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
-        k = object_key(self.file_key, num, gen, aes=self.method == "aesv2")
-        if self.method == "aesv2":
+        k = self._key(num, gen)
+        if self.method in ("aesv2", "aesv3"):
             return aes_cbc_decrypt(k, data)
         return rc4(k, data)
 
@@ -245,8 +313,8 @@ class StandardDecryptor:
                 iv: bytes = b"\x00" * 16) -> bytes:
         """Fixture-builder direction (deterministic IV by default —
         fine for tests, never used by the reader)."""
-        k = object_key(self.file_key, num, gen, aes=self.method == "aesv2")
-        if self.method == "aesv2":
+        k = self._key(num, gen)
+        if self.method in ("aesv2", "aesv3"):
             return aes_cbc_encrypt(k, iv, data)
         return rc4(k, data)
 
@@ -260,6 +328,8 @@ def build_decryptor(encrypt_dict: dict, id0: bytes, resolve=lambda x: x):
         raise NotImplementedError(f"unsupported security handler {filt!r}")
     v = int(resolve(encrypt_dict.get("/V")) or 0)
     r = int(resolve(encrypt_dict.get("/R")) or 2)
+    if v == 5:
+        return _build_v5_decryptor(encrypt_dict, r, resolve)
     if v not in (1, 2, 4):
         raise NotImplementedError(f"unsupported /Encrypt /V {v}")
     length = int(resolve(encrypt_dict.get("/Length")) or 40)
@@ -302,3 +372,32 @@ def build_decryptor(encrypt_dict: dict, id0: bytes, resolve=lambda x: x):
             "PDF requires a non-empty user password (only the empty "
             "user password is supported)")
     return StandardDecryptor(file_key, method)
+
+
+def _build_v5_decryptor(encrypt_dict: dict, r: int, resolve):
+    """/V 5 (AES-256, AESV3): validate the EMPTY user password against
+    /U's 48-byte hash‖validation-salt‖key-salt layout (revision 5 =
+    plain SHA-256, revision 6 = Algorithm 2.B), then unwrap the file
+    key from /UE with AES-256-CBC (zero IV, no padding).  The owner
+    path (/O, /OE) is not consulted — the empty USER password is the
+    supported case, matching the RC4/AESV2 handlers above."""
+    if r not in (5, 6):
+        raise NotImplementedError(f"unsupported /V 5 revision {r}")
+    u = resolve(encrypt_dict.get("/U"))
+    ue = resolve(encrypt_dict.get("/UE"))
+    if not isinstance(u, bytes) or len(u) < 48 or \
+            not isinstance(ue, bytes) or len(ue) < 32:
+        raise NotImplementedError("malformed /Encrypt: /U or /UE")
+    u_hash, vsalt, ksalt = u[:32], u[32:40], u[40:48]
+    if r == 6:
+        check = hash_2b(b"", vsalt, b"")
+        inter = hash_2b(b"", ksalt, b"")
+    else:
+        check = hashlib.sha256(vsalt).digest()       # pw = b""
+        inter = hashlib.sha256(ksalt).digest()
+    if check != u_hash:
+        raise NotImplementedError(
+            "PDF requires a non-empty user password (only the empty "
+            "user password is supported)")
+    file_key = aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
+    return StandardDecryptor(file_key, "aesv3")
