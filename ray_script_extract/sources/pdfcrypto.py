@@ -1,4 +1,5 @@
-"""Standard security handler for encrypted PDFs (RC4-40/128 + AESV2),
+"""Standard security handler for encrypted PDFs (RC4-40/128, AESV2,
+AES-256/AESV3),
 implemented from the public PDF 32000-1:2008 spec §7.6 — the reference
 gets decryption for free from poppler's ``pdftohtml``
 (`/root/reference/src/parser/analyzer/Parser.php:68-79`); this module
@@ -54,7 +55,7 @@ def rc4(key: bytes, data: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# AES-128 (FIPS-197), portable pure Python — fixture-scale throughput
+# AES-128/192/256 (FIPS-197), portable pure Python — fixture-scale throughput
 # ---------------------------------------------------------------------------
 
 _SBOX = bytes.fromhex(
