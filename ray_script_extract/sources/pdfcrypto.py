@@ -153,12 +153,84 @@ def _decrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
     return bytes(s)
 
 
+# --- OpenSSL EVP fast path -------------------------------------------------
+# Pure-Python AES runs at fixture speed (~100 KB/s); an encrypted
+# CORPUS needs the platform cipher.  libcrypto is loaded lazily via
+# ctypes and every CBC entry point silently falls back to the
+# pure-Python core when it is absent — the FIPS-197-pinned code above
+# stays the reference implementation AND the portability path, and a
+# cross-check test asserts both produce identical bytes (OpenSSL as
+# the independent oracle).
+_EVP = None
+_FORCE_PURE = False  # tests flip this to pin the pure path
+
+
+def _load_evp():
+    global _EVP
+    if _EVP is None:
+        try:
+            import ctypes
+            import ctypes.util
+
+            lib = ctypes.CDLL(ctypes.util.find_library("crypto")
+                              or "libcrypto.so.3")
+            lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+            lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+            for name in ("EVP_aes_128_cbc", "EVP_aes_192_cbc",
+                         "EVP_aes_256_cbc"):
+                getattr(lib, name).restype = ctypes.c_void_p
+            lib.EVP_CipherInit_ex.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+            lib.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p,
+                                                       ctypes.c_int]
+            lib.EVP_CipherUpdate.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+                ctypes.c_int]
+            _EVP = (lib, ctypes)
+        except Exception:
+            _EVP = False
+    return _EVP or None
+
+
+def _evp_cbc(key: bytes, iv: bytes, data: bytes,
+             encrypt: bool) -> "bytes | None":
+    """AES-CBC via OpenSSL, padding DISABLED (callers pad/unpad with
+    the same logic as the pure path).  None → fall back."""
+    if _FORCE_PURE or len(data) % 16:
+        return None
+    loaded = _load_evp()
+    if loaded is None:
+        return None
+    lib, ctypes = loaded
+    cipher = {16: lib.EVP_aes_128_cbc, 24: lib.EVP_aes_192_cbc,
+              32: lib.EVP_aes_256_cbc}[len(key)]()
+    ctx = lib.EVP_CIPHER_CTX_new()
+    try:
+        if not lib.EVP_CipherInit_ex(ctx, cipher, None, key, iv,
+                                     1 if encrypt else 0):
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        n = ctypes.c_int(0)
+        if not lib.EVP_CipherUpdate(ctx, out, ctypes.byref(n), data,
+                                    len(data)):
+            return None
+        return out.raw[:n.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC with PKCS#7 padding; returns iv + ciphertext (the
-    PDF AESV2 wire format)."""
-    rks = _expand_key(key)
+    """AES-CBC with PKCS#7 padding; returns iv + ciphertext (the PDF
+    AESV2/AESV3 wire format)."""
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
+    fast = _evp_cbc(key, iv, data, encrypt=True)
+    if fast is not None:
+        return iv + fast
+    rks = _expand_key(key)
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
@@ -172,13 +244,16 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """Inverse of aes_cbc_encrypt: data = iv + ciphertext."""
     if len(data) < 32 or len(data) % 16:
         return b""  # malformed AESV2 payload
-    rks = _expand_key(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        block = data[i:i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks), prev))
-        prev = block
+    out = _evp_cbc(key, data[:16], data[16:], encrypt=False)
+    if out is None:
+        rks = _expand_key(key)
+        prev = data[:16]
+        out = bytearray()
+        for i in range(16, len(data), 16):
+            block = data[i:i + 16]
+            out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks),
+                                               prev))
+            prev = block
     pad = out[-1] if out else 0
     if 1 <= pad <= 16:
         out = out[:-pad]
@@ -188,6 +263,9 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 def aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC, NO padding, NO IV prefix (len(data) % 16 == 0) — the
     primitive Algorithm 2.B and the /UE//OE wrapping use."""
+    fast = _evp_cbc(key, iv, data, encrypt=True)
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     out = bytearray()
     prev = iv
@@ -200,6 +278,9 @@ def aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Inverse of aes_cbc_encrypt_raw (no padding, explicit IV)."""
+    fast = _evp_cbc(key, iv, data, encrypt=False)
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     out = bytearray()
     prev = iv

@@ -519,3 +519,41 @@ def test_encoding_differences_decode():
     content = b"BT /F1 12 Tf 1 0 0 1 108 700 Tm (ABCad) Tj ET"
     xml = pdf_to_page_xml(_onepage_pdf(content, extra, res))[0]
     assert ">ex!\xe2\x80\x99d<".encode().decode() in xml or "ex!’d" in xml
+
+
+def test_evp_fast_path_matches_pure_python(monkeypatch):
+    """When libcrypto is present, every CBC entry point must produce
+    byte-identical output to the pure-Python FIPS-197 core — OpenSSL
+    acts as an INDEPENDENT oracle for the AES paths (breaking the
+    writer/reader circularity of the fixture twins), and the fallback
+    stays correct when the fast path is pinned off."""
+    from ray_script_extract.sources import pdfcrypto as c
+
+    if c._load_evp() is None:
+        import pytest as _p
+        _p.skip("libcrypto unavailable — pure path is the only path")
+
+    iv = bytes(range(16))
+    for klen in (16, 24, 32):
+        key = bytes((3 * i + 1) & 0xFF for i in range(klen))
+        for size in (0, 16, 48, 1600, 31):  # 31 → padded wire format
+            data = bytes((i * 7 + klen) & 0xFF for i in range(size))
+            fast_w = c.aes_cbc_encrypt(key, iv, data)
+            monkeypatch.setattr(c, "_FORCE_PURE", True)
+            pure_w = c.aes_cbc_encrypt(key, iv, data)
+            assert fast_w == pure_w
+            assert c.aes_cbc_decrypt(key, pure_w) == data
+            monkeypatch.setattr(c, "_FORCE_PURE", False)
+            assert c.aes_cbc_decrypt(key, fast_w) == data
+            if size % 16 == 0:
+                fast_r = c.aes_cbc_encrypt_raw(key, iv, data)
+                monkeypatch.setattr(c, "_FORCE_PURE", True)
+                assert c.aes_cbc_encrypt_raw(key, iv, data) == fast_r
+                assert c.aes_cbc_decrypt_raw(key, iv, fast_r) == data
+                monkeypatch.setattr(c, "_FORCE_PURE", False)
+                assert c.aes_cbc_decrypt_raw(key, iv, fast_r) == data
+
+    # hash_2b rides the same CBC primitive: both paths must agree
+    fast_h = c.hash_2b(b"", b"saltsalt", b"")
+    monkeypatch.setattr(c, "_FORCE_PURE", True)
+    assert c.hash_2b(b"", b"saltsalt", b"") == fast_h
