@@ -557,3 +557,23 @@ def test_evp_fast_path_matches_pure_python(monkeypatch):
     fast_h = c.hash_2b(b"", b"saltsalt", b"")
     monkeypatch.setattr(c, "_FORCE_PURE", True)
     assert c.hash_2b(b"", b"saltsalt", b"") == fast_h
+
+
+def test_v5_r5_handler():
+    """Revision 5 (the pre-R6 Adobe extension): plain SHA-256 password
+    check and key unwrap — same /U layout, no Algorithm 2.B."""
+    import hashlib as _hl
+
+    from ray_script_extract.sources.pdfcrypto import (
+        aes_cbc_encrypt_raw,
+        build_decryptor,
+    )
+
+    vs, ks = b"r5vsalt8", b"r5ksalt8"
+    fk = bytes((5 * i + 1) & 0xFF for i in range(32))
+    u = _hl.sha256(vs).digest() + vs + ks          # pw == b""
+    ue = aes_cbc_encrypt_raw(_hl.sha256(ks).digest(), b"\x00" * 16, fk)
+    d = build_decryptor({"/Filter": "/Standard", "/V": 5, "/R": 5,
+                         "/U": u, "/UE": ue}, b"")
+    assert d.method == "aesv3" and d.file_key == fk
+    assert d.decrypt(d.encrypt(b"r5 payload", 1, 0), 2, 0) == b"r5 payload"
