@@ -157,3 +157,32 @@ def test_audit_detectors_fire(tmp_path):
     want = con.sql(AUDIT_DOCUMENTS_SQL).df()
     pd.testing.assert_frame_equal(out, want, check_dtype=True,
                                   check_exact=True)
+
+
+def test_quantile_rank_formula_property():
+    """Property test: the 1-indexed ceil(q*n) rank used by
+    filter_length_band must equal DuckDB quantile_disc for arbitrary
+    multisets and quantiles (hypothesis over values AND q, including
+    the float-boundary quantiles where ceil is sensitive)."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=30),
+                    min_size=1, max_size=40),
+           st.one_of(st.floats(min_value=0.01, max_value=0.99),
+                     st.sampled_from([0.1, 0.25, 0.5, 0.51, 0.75, 0.9])))
+    def check(vals, q):
+        want = con.execute(
+            "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)",
+            [q, vals]).fetchone()[0]
+        s = sorted(vals)
+        got = s[min(math.ceil(q * len(s)), len(s)) - 1]
+        assert got == want, (vals, q, got, want)
+
+    check()
