@@ -2105,7 +2105,9 @@ QUERIES["dedup_components"] = dedup_components
 QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
 from .sketches import (  # noqa: E402
+    COUNT_MIN_SQL,
     approx_distinct_tokens,
+    count_min_words,
     event_value_percentiles_sketch,
     word_frequency_sketch,
 )
@@ -2113,6 +2115,7 @@ from .sketches import (  # noqa: E402
 QUERIES["word_frequency_sketch"] = word_frequency_sketch
 QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 QUERIES["event_value_percentiles_sketch"] = event_value_percentiles_sketch
+QUERIES["count_min_words"] = count_min_words
 
 from .clustering import cluster_embeddings  # noqa: E402
 from .multimodal import (  # noqa: E402
@@ -2927,3 +2930,4 @@ ORACLE_SQL["q14_promo_revenue"] = Q14_SQL
 ORACLE_SQL["q16_supplier_variety"] = Q16_SQL
 ORACLE_SQL["q19_disjunctive_revenue"] = Q19_SQL
 ORACLE_SQL["q22_idle_rich_customers"] = Q22_SQL
+ORACLE_SQL["count_min_words"] = COUNT_MIN_SQL

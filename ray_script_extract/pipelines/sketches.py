@@ -266,3 +266,126 @@ def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
         "count_lo": top["cnt"].astype(np.int64),
         "count_hi": (top["cnt"] + eps_total).astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+_CM_H1_MOD = 2 ** 31       # h1 ∈ [0, 2^31)
+_CM_H2_MOD = 2 ** 31 - 1   # h2 ∈ [1, 2^31-1] (never 0 → rows differ)
+
+
+def _cm_hash_pair(words, cache: dict) -> "tuple[np.ndarray, np.ndarray]":
+    """(h1, h2) per word from one md5: h1 = low-8-bytes LE (DuckDB
+    ``md5_number_lower``), h2 = high-8-bytes LE (``md5_number_upper``)
+    — both verified bit-equal to DuckDB, which is what makes the
+    sketch CONTENT exactly SQL-checkable.  Reduced mod 2^31 so the
+    Kirsch–Mitzenmacher combination h1 + r·h2 stays far from int64
+    overflow on BOTH engines (DuckDB would error on UBIGINT wrap)."""
+    import hashlib
+
+    h1 = np.empty(len(words), np.int64)
+    h2 = np.empty(len(words), np.int64)
+    for i, w in enumerate(words):
+        pair = cache.get(w)
+        if pair is None:
+            d = hashlib.md5(w.encode()).digest()
+            pair = (int.from_bytes(d[8:], "little") % _CM_H1_MOD,
+                    1 + int.from_bytes(d[:8], "little") % _CM_H2_MOD)
+            if len(cache) < 1 << 20:
+                cache[w] = pair
+        h1[i], h2[i] = pair
+    return h1, h2
+
+
+def count_min_words(sf_dir: str, depth: int = _CM_DEPTH,
+                    width: int = _CM_WIDTH):
+    """Count-Min sketch of the corpus word-frequency vector, returned
+    as its nonzero cells ``(row, col, cell_count)`` — the linear-
+    sketch tier of the frequency family (Misra–Gries keeps the top
+    keys; CM answers point queries for EVERY key in O(depth) with a
+    one-sided error: estimate = min_r cell[r][col_r(w)] ≥ true,
+    overshoot bounded by the collision mass e·N/width w.h.p.).
+
+    Shape: per batch, EXACT token counts (Arrow value_counts) scatter
+    into a depth×width int64 matrix (np.add.at on unique words only);
+    each batch emits its ≤ depth·width NONZERO cells, and cell-wise
+    SUM is the CM merge — one bounded ``groupby_agg_partitioned``
+    regardless of vocabulary or corpus size.  Nothing token-shaped
+    ever shuffles: the exchange carries at most
+    (blocks × depth × width) small-int rows.
+
+    The cell hashing is md5-derived (Kirsch–Mitzenmacher double
+    hashing), so the ENTIRE sketch replicates in SQL — the oracle
+    rebuilds every cell with ``md5_number_lower/upper`` and must match
+    bit-for-bit; tests/test_sketches.py additionally proves the
+    point-query bounds against exact counts at full and crushed
+    width."""
+    from .joins import groupby_agg_partitioned
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    cache: dict = {}
+
+    def cells(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        flat = words.combine_chunks().flatten() \
+            if isinstance(words, pa.ChunkedArray) else words.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        vals = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h1, h2 = _cm_hash_pair(vals, cache)
+        mat = np.zeros((depth, width), np.int64)
+        for r in range(depth):
+            np.add.at(mat[r], (h1 + r * h2) % width, counts)
+        rows, cols = np.nonzero(mat)
+        return pa.table({
+            "row": pa.array(rows.astype(np.int64), pa.int64()),
+            "col": pa.array(cols.astype(np.int64), pa.int64()),
+            "cell_count": pa.array(mat[rows, cols], pa.int64()),
+        })
+
+    return groupby_agg_partitioned(
+        ds.map_batches(cells, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["row", "col"], {"cell_count": "sum"}).sort(["row", "col"])
+
+
+def cm_point_estimates(cells_df: "pd.DataFrame", words,
+                       depth: int = _CM_DEPTH,
+                       width: int = _CM_WIDTH) -> np.ndarray:
+    """Point-query helper (driver-side, test/consumer surface): the
+    CM estimate min_r cell[r][col_r(w)] for each word, from the
+    sketch's nonzero-cell table."""
+    mat = np.zeros((depth, width), np.int64)
+    mat[cells_df["row"].to_numpy(), cells_df["col"].to_numpy()] = \
+        cells_df["cell_count"].to_numpy()
+    h1, h2 = _cm_hash_pair(list(words), {})
+    est = np.full(len(h1), np.iinfo(np.int64).max)
+    for r in range(depth):
+        est = np.minimum(est, mat[r, (h1 + r * h2) % width])
+    return est
+
+
+COUNT_MIN_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), h AS (
+  SELECT CAST(md5_number_lower(w) % {_CM_H1_MOD} AS BIGINT) AS h1,
+         CAST(1 + md5_number_upper(w) % {_CM_H2_MOD} AS BIGINT) AS h2
+  FROM words
+), cells AS (
+  SELECT r.r AS row, (h1 + r.r * h2) % {_CM_WIDTH} AS col
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {_CM_DEPTH - 1}))
+                     AS r) r
+)
+SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cell_count
+FROM cells GROUP BY row, col ORDER BY row, col
+"""

@@ -171,3 +171,50 @@ def test_sketch_bounds_vs_exact():
     # per-step bound E <= sum over batches of N_b/capacity <= N/cap
     # per batch; with B batches E <= B*N/cap — sanity ceiling only
     assert eps <= n_total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_min_bounds():
+    """CM point queries never undercount; at default width the
+    estimate is exact for every word with no full-row collision
+    partner (computed from the same hashes, not assumed); at a
+    crushed width the one-sided error shows up but the lower bound
+    still holds."""
+    from ray_script_extract.pipelines.sketches import (_CM_DEPTH, _CM_WIDTH,
+                                                       _cm_hash_pair,
+                                                       cm_point_estimates,
+                                                       count_min_words)
+
+    sf = "/root/testdata/sf0.001"
+    exact = _exact_counts(sf)
+    words = sorted(exact)
+
+    cells = count_min_words(sf).to_pandas()
+    est = cm_point_estimates(cells, words)
+    true = np.array([exact[w] for w in words], np.int64)
+    assert (est >= true).all()
+
+    # cell totals conserve mass: each row of the matrix sums to N
+    n_total = int(true.sum())
+    assert (cells.groupby("row")["cell_count"].sum() == n_total).all()
+
+    # identify words with NO full-depth collision partner: their
+    # estimate must be exactly the true count
+    h1, h2 = _cm_hash_pair(words, {})
+    cols = np.stack([(h1 + r * h2) % _CM_WIDTH for r in range(_CM_DEPTH)])
+    clean = np.ones(len(words), bool)
+    for i in range(len(words)):
+        collide_all = np.ones(len(words), bool)
+        for r in range(_CM_DEPTH):
+            collide_all &= cols[r] == cols[r, i]
+        collide_all[i] = False
+        if collide_all.any():
+            clean[i] = False
+    assert clean.any()
+    assert (est[clean] == true[clean]).all()
+
+    # crushed width: heavy collisions, still one-sided
+    tiny = count_min_words(sf, depth=2, width=4).to_pandas()
+    est_tiny = cm_point_estimates(tiny, words, depth=2, width=4)
+    assert (est_tiny >= true).all()
+    assert (est_tiny > true).any()
