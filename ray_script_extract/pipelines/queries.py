@@ -2931,3 +2931,63 @@ ORACLE_SQL["q16_supplier_variety"] = Q16_SQL
 ORACLE_SQL["q19_disjunctive_revenue"] = Q19_SQL
 ORACLE_SQL["q22_idle_rich_customers"] = Q22_SQL
 ORACLE_SQL["count_min_words"] = COUNT_MIN_SQL
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — the window type tumbling/rolling/session miss
+# ---------------------------------------------------------------------------
+
+_HOP_WINDOW_DAYS = 3  # window length; slide = 1 day
+
+
+def hop_event_counts(sf_dir: str, window_days: int = _HOP_WINDOW_DAYS):
+    """Hopping-window aggregate: per (window_start, event_type) count
+    + exact cents sum over [window_start, window_start + window_days),
+    windows sliding by one day — the overlapping-window shape tumbling
+    (``daily_event_counts``) and per-key rolling
+    (``events_rolling_sum3``) don't cover.
+
+    Shape: each event replicates into exactly ``window_days`` window
+    keys MAP-SIDE (constant-factor fan-out, same discipline as the
+    range join's day buckets — never a cross join), then collapses to
+    per-block (window, type) partials before the one bounded exchange:
+    <= |days x types| rows per block move regardless of event count."""
+    ds = _events_with_cents(sf_dir)
+
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        parts = []
+        for off in range(window_days):
+            ws = days - np.timedelta64(off, "D")
+            parts.append(pa.table({
+                "window_start": pa.array(
+                    np.datetime_as_string(ws, unit="D")),
+                "event_type": batch.column("event_type"),
+                "value_cents": batch.column("value_cents"),
+            }))
+        t = pa.concat_tables(parts)
+        return _batch_partial(t, ["window_start", "event_type"],
+                              ["value_cents"])
+
+    return (ds.map_batches(expand_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["window_start", "event_type"])
+            .aggregate(Sum("__n", alias_name="n_events"),
+                       Sum("value_cents", alias_name="total_value_cents"))
+            .sort(["window_start", "event_type"]))
+
+
+HOP_EVENTS_SQL = f"""
+SELECT strftime(date_trunc('day', ts) - offs.o * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_cents
+FROM events CROSS JOIN
+     (SELECT unnest(generate_series(0, {_HOP_WINDOW_DAYS - 1})) AS o) offs
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["hop_event_counts"] = hop_event_counts
+ORACLE_SQL["hop_event_counts"] = HOP_EVENTS_SQL
+
