@@ -621,3 +621,134 @@ SELECT doc_id, lang, n_tokens,
        CAST((s + GREATEST(n_tokens, 1) - 1) // {window} AS BIGINT) AS bin_last
 FROM pk ORDER BY doc_id
 """.format(stop_list=_STOP_SQL_LIST, budget=_TOKEN_BUDGET, window=512)
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioned globally-sorted export (merge-scan-ready sink)
+# ---------------------------------------------------------------------------
+
+_SORT_PARTITIONS = 8
+
+
+def export_sorted(sf_dir: str, output_dir: str,
+                  num_partitions: int = _SORT_PARTITIONS) -> pd.DataFrame:
+    """Globally-sorted, range-partitioned parquet export of the
+    document table, sorted by (n_chars, doc_id) — the sink shape a
+    downstream merge scan (or binary-search point lookup) needs:
+    partition i's key range ends strictly before partition i+1's
+    begins, and each file is sorted internally.
+
+    Two passes, both bounded:
+    1. EXACT value histogram of the sort key (per-block np.unique
+       partials, one (value, count) exchange, driver cumsum over
+       <= |distinct lengths| rows) picks num_partitions-1 boundary
+       VALUES at equal-rank targets — the same quantile_disc-exact
+       rank rule as filter_length_band, so the SQL oracle rebuilds
+       the identical partition assignment.  Ties of the key never
+       split across files (value-granular boundaries), which is what
+       makes the cross-file order total.
+    2. One range exchange: pid = #bounds < key assigned map-side,
+       rows co-locate per pid, each partition sorts vectorized and
+       writes atomically through the lineage sink (fsync-then-record,
+       checksum re-verified on resume — a rerun SKIPS every verified
+       partition but still reports the same manifest).
+
+    Returns the manifest (pid, n_rows, min/max key) — deterministic,
+    so it doubles as the oracle-checked query surface; heavy-value
+    skew bounds a partition from below by its tie mass, the standard
+    range-partitioner caveat (salting would break the sorted-output
+    contract)."""
+    import math
+
+    from ..stages.lineage import (completed_partitions, fragment_key,
+                                  write_partition)
+    from .joins import groupby_agg_partitioned
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch.column("n_chars").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"n_chars": pa.array(v.astype(np.int64), pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (groupby_agg_partitioned(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars"], {"cnt": "sum"})
+        .to_pandas().sort_values("n_chars"))
+    vals = counts["n_chars"].to_numpy()
+    cum = counts["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    bounds = np.unique([
+        int(vals[int(np.searchsorted(
+            cum, math.ceil(k / num_partitions * n), side="left"))])
+        for k in range(1, num_partitions)])
+
+    done = set(completed_partitions(output_dir))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(bounds, key, side="left")  # = #bounds < key
+        return batch.append_column("__pid",
+                                   pa.array(pid.astype(np.int64), pa.int64()))
+
+    def write_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        pid = int(df["__pid"].iloc[0])
+        part = df.sort_values(["n_chars", "doc_id"], kind="stable")
+        manifest = pd.DataFrame({
+            "pid": [np.int64(pid)],
+            "n_rows": [np.int64(len(part))],
+            "min_n_chars": [np.int64(part["n_chars"].iloc[0])],
+            "max_n_chars": [np.int64(part["n_chars"].iloc[-1])],
+        })
+        descriptor = f"sorted:{sf_dir}:p{pid}/{num_partitions}"
+        key = fragment_key(descriptor)
+        if key not in done:
+            table = pa.Table.from_pandas(
+                part[["doc_id", "lang", "text", "n_chars"]],
+                preserve_index=False)
+            write_partition(output_dir, key, table, descriptor,
+                            metrics={"pid": pid, "rows": len(part)})
+        return manifest
+
+    out = (docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("__pid")
+           .map_groups(write_sorted, batch_format="pandas")
+           .to_pandas())  # <= num_partitions rows
+    return out.sort_values("pid").reset_index(drop=True)
+
+
+def export_sorted_manifest(sf_dir: str) -> pd.DataFrame:
+    """queries() surface: run the sorted export against a fresh
+    scratch dir and return the (deterministic) manifest."""
+    import tempfile
+
+    return export_sorted(sf_dir, tempfile.mkdtemp(prefix="rse_sorted_"))
+
+
+_SORT_FRACS = ", ".join(repr(k / _SORT_PARTITIONS)
+                        for k in range(1, _SORT_PARTITIONS))
+
+EXPORT_SORTED_SQL = f"""
+WITH bounds AS (
+  SELECT DISTINCT unnest(quantile_disc(n_chars, [{_SORT_FRACS}])) AS b
+  FROM documents
+), assigned AS (
+  SELECT n_chars,
+         (SELECT COUNT(*) FROM bounds WHERE b < n_chars) AS pid
+  FROM documents
+)
+SELECT CAST(pid AS BIGINT) AS pid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(n_chars) AS BIGINT) AS min_n_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+FROM assigned GROUP BY pid ORDER BY pid
+"""

@@ -2932,6 +2932,11 @@ ORACLE_SQL["q19_disjunctive_revenue"] = Q19_SQL
 ORACLE_SQL["q22_idle_rich_customers"] = Q22_SQL
 ORACLE_SQL["count_min_words"] = COUNT_MIN_SQL
 
+from .curation import EXPORT_SORTED_SQL, export_sorted_manifest  # noqa: E402
+
+QUERIES["export_sorted_manifest"] = export_sorted_manifest
+ORACLE_SQL["export_sorted_manifest"] = EXPORT_SORTED_SQL
+
 # ---------------------------------------------------------------------------
 # Hopping (sliding) windows — the window type tumbling/rolling/session miss
 # ---------------------------------------------------------------------------
