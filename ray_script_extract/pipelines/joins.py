@@ -126,7 +126,9 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           post: Callable[[pd.DataFrame],
                                          pd.DataFrame] | None = None,
                           left_schema: "pa.Schema | None" = None,
-                          right_schema: "pa.Schema | None" = None
+                          right_schema: "pa.Schema | None" = None,
+                          hot_keys: "np.ndarray | None" = None,
+                          num_salts: int = 8,
                           ) -> "ray.data.Dataset":
     """Equi-join on integer keys, Arrow end-to-end until the
     per-partition merge.  Column sets must be disjoint apart from the
@@ -156,11 +158,35 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
     input is a LAZY pipeline: ``Dataset.schema()`` on a lazy dataset
     EXECUTES its upstream operators as a probe, so a chained join
     without explicit schemas silently re-runs the previous join's
-    whole pipeline."""
+    whole pipeline.
+
+    ``hot_keys`` (sorted int array) turns on HOT-KEY SALTING: each
+    hot key gets ``num_salts`` dedicated partitions of its own — the
+    LEFT (fact) side's hot rows spread across them round-robin, the
+    RIGHT (dimension) side's hot rows REPLICATE into all of them, so
+    one dominant key can no longer serialize the join on a single
+    reduce task (the classic skew fix: replicate the small side,
+    never the big one).  Salting splits a key across tasks, so it is
+    incompatible with per-key ``pre_left``/``dedupe_left`` (raises),
+    and ``post`` must be salt-safe (per-partition partials that a
+    later reduce re-combines — which is how every caller here already
+    uses it).  Supported for ``inner``/``left`` with the fact on the
+    left: fact rows are never replicated, so left-null semantics and
+    row multiplicity are untouched."""
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     if num_partitions is None:
         num_partitions = default_partitions()
+    hot_sorted = None
+    if hot_keys is not None and len(hot_keys):
+        if pre_left is not None or dedupe_left:
+            raise ValueError("hot-key salting splits a key across "
+                             "tasks; per-key pre_left/dedupe_left "
+                             "would be wrong")
+        if how not in ("inner", "left"):
+            raise ValueError("salting supports inner/left joins "
+                             "(fact side on the left) only")
+        hot_sorted = np.sort(np.asarray(hot_keys, dtype=np.int64))
 
     def _arrow_types(schema):
         # pandas-block datasets report numpy dtypes; normalize to Arrow
@@ -214,10 +240,38 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
             for name, typ in pads:
                 tbl = tbl.append_column(name, _pad_array(len(tbl), typ))
             tbl = tbl.select(all_cols)
-            k = tbl.column(key).to_numpy(zero_copy_only=False)
+            k = tbl.column(key).to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            part = (k % num_partitions).astype(np.int64)
+            if hot_sorted is not None:
+                pos = np.searchsorted(hot_sorted, k)
+                pos_c = np.minimum(pos, len(hot_sorted) - 1)
+                is_hot = hot_sorted[pos_c] == k
+                if side_flag == 0:
+                    # fact side: spread each hot key round-robin over
+                    # its num_salts dedicated partitions
+                    salt = np.arange(len(k), dtype=np.int64) % num_salts
+                    part = np.where(
+                        is_hot,
+                        num_partitions + pos_c * num_salts + salt, part)
+                elif is_hot.any():
+                    # dimension side: replicate hot rows into every
+                    # salted partition of their key
+                    cold = tbl.filter(pa.array(~is_hot))
+                    cold_part = part[~is_hot]
+                    hot_idx = np.flatnonzero(is_hot)
+                    rep = tbl.take(pa.array(np.repeat(hot_idx,
+                                                      num_salts)))
+                    rep_part = (num_partitions
+                                + np.repeat(pos_c[hot_idx], num_salts)
+                                * num_salts
+                                + np.tile(np.arange(num_salts,
+                                                    dtype=np.int64),
+                                          len(hot_idx)))
+                    tbl = pa.concat_tables([cold, rep])
+                    part = np.concatenate([cold_part, rep_part])
             tbl = tbl.append_column(
-                "__part", pa.array((k % num_partitions).astype(np.int64),
-                                   pa.int64()))
+                "__part", pa.array(part, pa.int64()))
             return tbl.append_column(
                 "__side", pa.array(np.full(len(tbl), side_flag, np.int8),
                                    pa.int8()))

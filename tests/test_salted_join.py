@@ -1,0 +1,118 @@
+"""Hot-key salting in hash_join_via_groupby: a dominant key must
+spread over num_salts reduce tasks (the dimension side replicating,
+the fact side round-robining) while producing the bit-identical join
+result — including LEFT-join nulls for a hot key missing from the
+dimension.  Crafted 90%-one-key skew; the sf tables are uniform so
+the machinery is only exercisable here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+N_FACT = 20_000
+HOT = 7          # 90% of fact rows
+HOT_MISSING = 777  # hot in the fact, absent from the dimension
+N_SALTS = 8
+
+
+def _fact_dim():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 100, N_FACT).astype(np.int64)
+    keys[: int(N_FACT * 0.85)] = HOT
+    keys[int(N_FACT * 0.85): int(N_FACT * 0.9)] = HOT_MISSING
+    rng.shuffle(keys)
+    fact = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(np.arange(N_FACT, dtype=np.int64), pa.int64()),
+    })
+    dim = pa.table({
+        "dk": pa.array(np.arange(100, dtype=np.int64), pa.int64()),
+        "attr": pa.array(np.arange(100, dtype=np.int64) * 10, pa.int64()),
+    })
+    return fact, dim
+
+
+def _post(df: pd.DataFrame) -> pd.DataFrame:
+    """Salt-safe per-partition partial: per-key counts + v sums, plus
+    one marker row (key = -1) recording whether THIS merge task saw
+    any hot-key fact rows — the spread observability hook."""
+    g = (df.groupby("k", as_index=False)
+         .agg(n=("v", "size"), v_sum=("v", "sum"),
+              attr_sum=("attr", lambda s: int(pd.Series(s).fillna(-1)
+                                              .astype(np.int64).sum()))))
+    g["n"] = g["n"].astype(np.int64)
+    g["v_sum"] = g["v_sum"].astype(np.int64)
+    g["attr_sum"] = g["attr_sum"].astype(np.int64)
+    saw_hot = int((df["k"] == HOT).any())
+    marker = pd.DataFrame({"k": [np.int64(-1)], "n": [np.int64(saw_hot)],
+                           "v_sum": [np.int64(0)],
+                           "attr_sum": [np.int64(0)]})
+    return pd.concat([g, marker], ignore_index=True)
+
+
+def _run(fact, dim, hot_keys):
+    from ray_script_extract.pipelines.joins import hash_join_via_groupby
+
+    out = hash_join_via_groupby(
+        ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+        "k", "dk", how="left", post=_post, num_partitions=16,
+        hot_keys=hot_keys, num_salts=N_SALTS,
+        left_schema=fact.schema, right_schema=dim.schema).to_pandas()
+    markers = out[out["k"] == -1]
+    partials = out[out["k"] != -1]
+    final = (partials.groupby("k", as_index=False)
+             .agg(n=("n", "sum"), v_sum=("v_sum", "sum"),
+                  attr_sum=("attr_sum", "sum"))
+             .sort_values("k").reset_index(drop=True))
+    return final, int(markers["n"].sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_join_identical_and_spread():
+    fact, dim = _fact_dim()
+    hot = np.array([HOT, HOT_MISSING], np.int64)
+
+    plain, hot_tasks_plain = _run(fact, dim, None)
+    salted, hot_tasks_salted = _run(fact, dim, hot)
+    pd.testing.assert_frame_equal(plain, salted)
+
+    # unsalted: the hot key serializes on ONE reduce task;
+    # salted: it spreads over exactly num_salts tasks
+    assert hot_tasks_plain == 1
+    assert hot_tasks_salted == N_SALTS
+
+    # reference semantics (pandas left join), incl. the hot key with
+    # no dimension row surviving with attr_sum = -1 * count
+    f = fact.to_pandas().merge(dim.to_pandas(), left_on="k",
+                               right_on="dk", how="left")
+    f["attr"] = f["attr"].fillna(-1).astype(np.int64)
+    want = (f.groupby("k", as_index=False)
+            .agg(n=("v", "size"), v_sum=("v", "sum"),
+                 attr_sum=("attr", "sum"))
+            .sort_values("k").reset_index(drop=True))
+    for c in ("n", "v_sum", "attr_sum"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(salted, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salting_guards():
+    from ray_script_extract.pipelines.joins import hash_join_via_groupby
+
+    fact, dim = _fact_dim()
+    hot = np.array([HOT], np.int64)
+    with pytest.raises(ValueError, match="pre_left"):
+        hash_join_via_groupby(
+            ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+            "k", "dk", hot_keys=hot, dedupe_left=True,
+            left_schema=fact.schema, right_schema=dim.schema)
+    with pytest.raises(ValueError, match="inner/left"):
+        hash_join_via_groupby(
+            ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+            "k", "dk", how="outer", hot_keys=hot,
+            left_schema=fact.schema, right_schema=dim.schema)
