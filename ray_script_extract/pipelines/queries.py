@@ -2911,15 +2911,16 @@ QUERIES["audit_documents"] = audit_documents
 ORACLE_SQL["audit_documents"] = AUDIT_DOCUMENTS_SQL
 
 from .tpch_more import (  # noqa: E402
-    Q4_SQL, Q12_SQL, Q13_SQL, Q14_SQL, Q16_SQL, Q19_SQL, Q22_SQL,
+    Q4_SQL, Q12_SQL, Q13_SQL, Q14_SQL, Q15_SQL, Q16_SQL, Q19_SQL, Q22_SQL,
     q4_order_priority, q12_priority_by_status, q13_order_distribution,
-    q14_promo_revenue, q16_supplier_variety, q19_disjunctive_revenue,
-    q22_idle_rich_customers)
+    q14_promo_revenue, q15_top_supplier, q16_supplier_variety,
+    q19_disjunctive_revenue, q22_idle_rich_customers)
 
 QUERIES["q4_order_priority"] = q4_order_priority
 QUERIES["q12_priority_by_status"] = q12_priority_by_status
 QUERIES["q13_order_distribution"] = q13_order_distribution
 QUERIES["q14_promo_revenue"] = q14_promo_revenue
+QUERIES["q15_top_supplier"] = q15_top_supplier
 QUERIES["q16_supplier_variety"] = q16_supplier_variety
 QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
 QUERIES["q22_idle_rich_customers"] = q22_idle_rich_customers
@@ -2927,6 +2928,7 @@ ORACLE_SQL["q4_order_priority"] = Q4_SQL
 ORACLE_SQL["q12_priority_by_status"] = Q12_SQL
 ORACLE_SQL["q13_order_distribution"] = Q13_SQL
 ORACLE_SQL["q14_promo_revenue"] = Q14_SQL
+ORACLE_SQL["q15_top_supplier"] = Q15_SQL
 ORACLE_SQL["q16_supplier_variety"] = Q16_SQL
 ORACLE_SQL["q19_disjunctive_revenue"] = Q19_SQL
 ORACLE_SQL["q22_idle_rich_customers"] = Q22_SQL

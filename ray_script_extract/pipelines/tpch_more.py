@@ -10,6 +10,7 @@ see TESTDATA.md):
 * ``q12_priority_by_status``— join + two-way conditional aggregation (Q12)
 * ``q13_order_distribution``— LEFT-join count histogram (Q13)
 * ``q14_promo_revenue``     — join + CASE ratio, exact num/den ints (Q14)
+* ``q15_top_supplier``      — argmax over a grouped aggregate, ties kept (Q15)
 * ``q16_supplier_variety``  — grouped COUNT DISTINCT with NOT IN (Q16)
 * ``q19_disjunctive_revenue``— OR-of-conjunctions predicate join (Q19)
 * ``q22_idle_rich_customers``— scalar-avg compare + anti-join (Q22)
@@ -757,4 +758,93 @@ WHERE p.bal_cents * tot.n > tot.s
                     AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — argmax with ties: top supplier(s) by windowed revenue
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (argmax over a grouped aggregate, ties kept):
+    the supplier(s) whose quarter revenue equals the global maximum.
+
+    Shape: lineitem pre-collapses to (suppkey, cents) partials per
+    block; ONE bounded keyed exchange finishes per-supplier totals
+    (`groupby_agg_partitioned` — the totals table is |suppliers|-
+    sized, it is NEVER driver-collected); the global max folds from
+    one per-block-partial max pass (constant rows to the driver);
+    the equality filter then streams, and only the <= |ties| winners
+    probe the supplier dimension through the budgeted broadcast (a
+    constant-size lookup of winner keys would also work at any scale
+    — the winner set is tiny by construction)."""
+    from .joins import broadcast_lookup_table, groupby_agg_partitioned
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= _ts(_Q15_LO))
+        & (pc.field("l_shipdate") < _ts(_Q15_HI)))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "total_cents": pa.array(_cents_np(price * (1.0 - disc)),
+                                    pa.int64()),
+        })
+        return _batch_partial(tbl, ["l_suppkey"], ["total_cents"])
+
+    totals = groupby_agg_partitioned(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_suppkey"], {"total_cents": "sum"}).materialize()
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        m = t.column("total_cents").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(m.max()) if len(m) else
+                                        -(1 << 62)], pa.int64())})
+
+    best = int(totals.map_batches(max_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+               .to_pandas()["m"].max())
+
+    handle = broadcast_lookup_table(f"{sf_dir}/supplier.parquet",
+                                    "s_suppkey", ["s_name"])
+
+    def winners(t: pa.Table) -> pa.Table:
+        from .joins import lookup_sorted_cols
+        w = t.filter(pc.equal(t.column("total_cents"), best))
+        keys = w.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        name = lookup_sorted_cols(handle, keys)["s_name"] if len(keys) \
+            else pa.array([], pa.string())
+        return pa.table({
+            "s_suppkey": w.column("l_suppkey"),
+            "s_name": name,
+            "total_cents": w.column("total_cents"),
+        })
+
+    return totals.map_batches(winners, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("s_suppkey")
+
+
+Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM r)
+ORDER BY s_suppkey
 """

@@ -35,6 +35,7 @@ def _df(res):
                                   "q12_priority_by_status",
                                   "q13_order_distribution",
                                   "q14_promo_revenue",
+                                  "q15_top_supplier",
                                   "q16_supplier_variety",
                                   "q19_disjunctive_revenue",
                                   "q22_idle_rich_customers"])
