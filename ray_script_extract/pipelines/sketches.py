@@ -255,10 +255,11 @@ def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
                        zero_copy_batch=True),
         ["word"], {"cnt": "sum", "eps": "sum"}).materialize()
 
+    # expression filters push down to Arrow kernels (a lambda filter
+    # would run a Python row loop over the whole summary)
     eps_total = int(summary.filter(
-        lambda r: r["word"] == _EPS_KEY)
-        .to_pandas()["eps"].sum())
-    top = (summary.filter(lambda r: r["word"] != _EPS_KEY)
+        expr=f"word == {_EPS_KEY!r}").to_pandas()["eps"].sum())
+    top = (summary.filter(expr=f"word != {_EPS_KEY!r}")
            .sort(["cnt", "word"], descending=[True, False])
            .limit(k).to_pandas())
     return pd.DataFrame({
