@@ -116,3 +116,42 @@ def test_salting_guards():
             ray.data.from_arrow(fact), ray.data.from_arrow(dim),
             "k", "dk", how="outer", hot_keys=hot,
             left_schema=fact.schema, right_schema=dim.schema)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_join_property_random():
+    """Property sweep: for random key distributions and hot sets
+    (including hot keys absent from either side and an empty dim),
+    the salted join must equal the pandas reference left join after
+    re-reducing the salt-safe partials."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(50, 2000))
+        keys = rng.integers(0, int(rng.integers(2, 30)), n) \
+            .astype(np.int64)
+        fact = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, n).astype(np.int64),
+                          pa.int64()),
+        })
+        dim_keys = np.unique(rng.integers(0, 30, int(rng.integers(1, 25)))
+                             .astype(np.int64))
+        dim = pa.table({
+            "dk": pa.array(dim_keys, pa.int64()),
+            "attr": pa.array(dim_keys * 10, pa.int64()),
+        })
+        hot = np.unique(rng.choice(
+            np.concatenate([keys, np.array([555], np.int64)]),
+            size=int(rng.integers(1, 4))))
+
+        salted, _ = _run(fact, dim, hot)
+        f = fact.to_pandas().merge(dim.to_pandas(), left_on="k",
+                                   right_on="dk", how="left")
+        f["attr"] = f["attr"].fillna(-1).astype(np.int64)
+        want = (f.groupby("k", as_index=False)
+                .agg(n=("v", "size"), v_sum=("v", "sum"),
+                     attr_sum=("attr", "sum"))
+                .sort_values("k").reset_index(drop=True))
+        for c in ("n", "v_sum", "attr_sum"):
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(salted, want), trial
