@@ -395,3 +395,50 @@ def lookup_sorted(handle, probe: np.ndarray) -> np.ndarray:
     if not np.array_equal(keys[pos_c], probe):
         raise KeyError("lookup_sorted: probe key missing from dimension")
     return vals[pos_c]
+
+
+def detect_hot_keys(ds: "ray.data.Dataset", key: str,
+                    frac_threshold: float = 0.01,
+                    capacity: int = 4096) -> np.ndarray:
+    """Find join keys heavy enough to need salting, in ONE bounded
+    streaming pass: per-block exact key counts are Misra–Gries-
+    compressed to <= ``capacity`` counters before anything moves
+    (``sketches._mg_compress``), one keyed exchange merges the
+    summaries, and a key is reported hot when even its LOWER bound
+    exceeds ``frac_threshold`` of the total row count — MG guarantees
+    every key with true frequency above the summary's decrement total
+    survives, so sizing ``capacity >> 1/frac_threshold`` makes the
+    detection exact (no false negatives for genuinely hot keys, and
+    the lower-bound test admits no false positives ever).
+
+    Pairs with ``hash_join_via_groupby(hot_keys=...)``: detect once on
+    the fact side, salt exactly what needs salting.  The sketch never
+    ships more than (blocks x capacity) rows regardless of key
+    cardinality — this is what makes skew detection affordable at
+    100 TB, where an exact groupby-count of the key column would be
+    its own all-to-all."""
+    from .sketches import _mg_compress
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            tbl.column(key).to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False), return_counts=True)
+        c = c.astype(np.int64)
+        keep, lowered, _ = _mg_compress(c, capacity)
+        if keep is not None:
+            v = v[keep]
+            c = lowered
+        n = np.int64(len(tbl.column(key)))
+        return pa.table({
+            "k": pa.array(np.append(v, -1), pa.int64()),  # -1: total marker
+            "cnt": pa.array(np.append(c, n), pa.int64()),
+        })
+
+    summary = groupby_agg_partitioned(
+        ds.map_batches(summarize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["k"], {"cnt": "sum"}).to_pandas()  # <= blocks*capacity rows
+    total = int(summary.loc[summary["k"] == -1, "cnt"].sum())
+    hot = summary[(summary["k"] != -1)
+                  & (summary["cnt"] > frac_threshold * total)]
+    return np.sort(hot["k"].to_numpy(np.int64))

@@ -155,3 +155,30 @@ def test_salted_join_property_random():
         for c in ("n", "v_sum", "attr_sum"):
             want[c] = want[c].astype(np.int64)
         pd.testing.assert_frame_equal(salted, want), trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_hot_keys_then_salt():
+    """The MG-based detector finds exactly the crafted hot keys (85%
+    + 5% of rows vs 1% threshold; the ~0.1%-each uniform tail stays
+    cold), and feeding its output straight into the salted join
+    reproduces the reference result — the detect-then-mitigate loop."""
+    from ray_script_extract.pipelines.joins import detect_hot_keys
+
+    fact, dim = _fact_dim()
+    hot = detect_hot_keys(ray.data.from_arrow(fact), "k",
+                          frac_threshold=0.01)
+    assert hot.tolist() == sorted([HOT, HOT_MISSING])
+
+    plain, _ = _run(fact, dim, None)
+    salted, hot_tasks = _run(fact, dim, hot)
+    pd.testing.assert_frame_equal(plain, salted)
+    assert hot_tasks == N_SALTS
+
+    # tiny capacity still cannot produce a false positive (the test
+    # is on the surviving LOWER bound), and the dominant key's true
+    # share is far above any possible decrement, so it must survive
+    hot_small = detect_hot_keys(ray.data.from_arrow(fact), "k",
+                                frac_threshold=0.01, capacity=4)
+    assert HOT in hot_small.tolist()
+    assert set(hot_small.tolist()) <= {HOT, HOT_MISSING}
