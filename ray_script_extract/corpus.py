@@ -107,14 +107,28 @@ def make_screenplay_pages(r: random.Random, n_pages: int) -> List[str]:
             for p in range(n_pages)]
 
 
-def make_doc(seed: int, index: int, size_class: str = "small") -> Dict:
+# cumulative kind-roll thresholds for (html, pdf_page_xml, pdf_raw);
+# the remainder is plain text.  'pdf_heavy' matches BASELINE.json's
+# input_hint (PDF-heavy interleaved mix): 55% raw authored PDFs
+# through the native front-end, 20% page-XML, 15% HTML, 10% text.
+CORPUS_MIXES = {
+    "default": (0.50, 0.75, 0.85),
+    "pdf_heavy": (0.15, 0.35, 0.90),
+}
+
+
+def make_doc(seed: int, index: int, size_class: str = "small",
+             mix: str = "default") -> Dict:
     """One document row: interleaved html/text/media spans.
 
     size_class: 'small' (1 act), 'medium' (~10 acts), 'large' (~60 acts)
     — drives the skew/bucketing tests (FIXTURES.md §7).
+    mix: CORPUS_MIXES key — span-kind proportions ('default' keeps the
+    historical 50/25/10/15 split so existing corpora stay bit-stable).
     """
     r = _rng(seed, index ^ 0x5EED)
     n_acts = {"small": 1, "medium": 10, "large": 60}[size_class]
+    t_html, t_xml, t_pdf = CORPUS_MIXES[mix]
     spans: List[Dict] = []
     off = 0
 
@@ -128,12 +142,12 @@ def make_doc(seed: int, index: int, size_class: str = "small") -> Dict:
         digest = hashlib.sha256(f"img:{seed}:{index}".encode()).hexdigest()
         add("image", media_ref=f"img://sha256/{digest}")
     kind_roll = r.random()
-    if kind_roll < 0.50:
+    if kind_roll < t_html:
         add("html", text=make_play_html(seed, index, n_acts=n_acts))
-    elif kind_roll < 0.75:
+    elif kind_roll < t_xml:
         for page_xml in make_screenplay_pages(r, n_pages=max(2, n_acts)):
             add("pdf_page_xml", text=page_xml)
-    elif kind_roll < 0.85:
+    elif kind_roll < t_pdf:
         import base64
 
         from .sources.pdf_fixtures import build_pdf, screenplay_pdf_lines
@@ -162,14 +176,17 @@ def size_class_for(index: int) -> str:
 
 
 def make_corpus_table(num_docs: int, seed: int = 42,
-                      start_index: int = 0, skewed: bool = True) -> pa.Table:
-    rows = [make_doc(seed, i, size_class_for(i) if skewed else "small")
+                      start_index: int = 0, skewed: bool = True,
+                      mix: str = "default") -> pa.Table:
+    rows = [make_doc(seed, i, size_class_for(i) if skewed else "small",
+                     mix=mix)
             for i in range(start_index, start_index + num_docs)]
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 
 
 def write_corpus_parquet(num_docs: int, out_dir: str, seed: int = 42,
-                         skewed: bool = True, docs_per_shard: int = 250) -> str:
+                         skewed: bool = True, docs_per_shard: int = 250,
+                         mix: str = "default") -> str:
     """Materialize the synthetic corpus as partitioned parquet (one
     file per shard, parallel Ray tasks).  Idempotent: returns early if
     the expected shard files already exist.  This gives benchmarks the
@@ -201,7 +218,8 @@ def write_corpus_parquet(num_docs: int, out_dir: str, seed: int = 42,
 
     @ray.remote(num_cpus=1)
     def write_shard(start: int, count: int, path: str) -> int:
-        rows = [make_doc(seed, i, size_class_for(i) if skewed else "small")
+        rows = [make_doc(seed, i, size_class_for(i) if skewed else "small",
+                         mix=mix)
                 for i in range(start, start + count)]
         table = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
         tmp = path + ".tmp"
