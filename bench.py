@@ -201,12 +201,17 @@ def run_scaling() -> None:
     sized so the 32-cpu run is compute-bound for 10s+."""
     n_docs = int(os.environ.get("SCALING_DOCS", "90000"))
     per_shard = int(os.environ.get("SCALING_DOCS_PER_SHARD", "100"))
-    # dir name encodes the shard size: write_corpus_parquet is
-    # file-level idempotent, so mixing shard layouts in one dir would
+    # SCALING_MIX=pdf_heavy evidences the criterion on the PDF-heavy
+    # shape BASELINE.json's input_hint names (default keeps the
+    # historical mix so windows stay comparable across rounds)
+    mix = os.environ.get("SCALING_MIX", "default")
+    # dir name encodes shard size AND mix: write_corpus_parquet is
+    # file-level idempotent, so mixing layouts in one dir would
     # otherwise leave stale extra shards that read as duplicate docs
     corpus_dir = os.environ.get(
         "SCALING_CORPUS_DIR",
-        f"/tmp/ray_script_corpus_{n_docs}_s{per_shard}")
+        f"/tmp/ray_script_corpus_{n_docs}_s{per_shard}"
+        + ("" if mix == "default" else f"_{mix}"))
     repo = os.path.dirname(os.path.abspath(__file__))
 
     import ray
@@ -216,7 +221,8 @@ def run_scaling() -> None:
                  logging_level="ERROR")
     from ray_script_extract.corpus import write_corpus_parquet
 
-    write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=per_shard)
+    write_corpus_parquet(n_docs, corpus_dir, docs_per_shard=per_shard,
+                         mix=mix)
     ray.shutdown()
 
     # N vs 4N levels: default 4→16 so even the BIG run leaves headroom
@@ -272,6 +278,7 @@ def run_scaling() -> None:
         },
         "sf": SF_DIR,
         "num_cpus": 32,
+        "mix": mix,
     }))
 
 
