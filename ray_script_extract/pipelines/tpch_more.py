@@ -7,6 +7,7 @@ synthetic tables actually carry (no partsupp / commitdate / shipmode —
 see TESTDATA.md):
 
 * ``q4_order_priority``     — EXISTS semi-join (Q4)
+* ``q10_returned_revenue``  — 3-table fact chain + dimension top-k (Q10)
 * ``q12_priority_by_status``— join + two-way conditional aggregation (Q12)
 * ``q13_order_distribution``— LEFT-join count histogram (Q13)
 * ``q14_promo_revenue``     — join + CASE ratio, exact num/den ints (Q14)
@@ -847,4 +848,160 @@ SELECT s_suppkey, s_name, total_cents
 FROM r JOIN supplier ON s_suppkey = l_suppkey
 WHERE total_cents = (SELECT MAX(total_cents) FROM r)
 ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue: the 3-table fact chain with top-k finish
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1997-07-01", "1997-10-01"
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20,
+                         force_shuffle: bool = False):
+    """TPC-H Q10 shape: customers who returned items in a quarter,
+    ranked by lost revenue — the lineitem→orders→customer chain with
+    the nation dimension and a global top-k finish.
+
+    Shape: the order-date window is pushed into the orders read;
+    returned lineitems pre-collapse to per-(block, orderkey) cents
+    partials; ONE orderkey shuffle join rewrites them to (custkey,
+    cents) partials; one bounded custkey exchange finishes the
+    per-customer totals.  Customer name/nation ride the budgeted
+    broadcast (partitioned shuffle join past the budget /
+    ``force_shuffle``, twin pinned); nation (spec-bounded at 25) is a
+    closure constant.  Every block top-k-prunes before the ≤ k·blocks
+    global sort."""
+    import pyarrow.parquet as pq
+
+    from .joins import (broadcast_lookup_table, groupby_agg_partitioned,
+                        hash_join_via_groupby, lookup_sorted_cols)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat_keys = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    order = np.argsort(nat_keys)
+    nat_keys = nat_keys[order]
+    nat_names = nat.column("n_name").take(pa.array(order))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+        })
+        return _batch_partial(tbl, ["l_orderkey"], ["cents"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= _ts(_Q10_LO))
+        & (pc.field("o_orderdate") < _ts(_Q10_HI)))
+
+    def to_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("o_custkey", as_index=False)
+             .agg(cents=("cents", "sum")))
+        g["cents"] = g["cents"].astype(np.int64)
+        return g
+
+    joined = hash_join_via_groupby(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        orders, "l_orderkey", "o_orderkey", post=to_cust,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("__n", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    totals = groupby_agg_partitioned(joined, ["o_custkey"],
+                                     {"cents": "sum"})
+
+    def add_nation(ck: np.ndarray) -> pa.Array:
+        pos = np.searchsorted(nat_keys, ck)
+        return nat_names.take(pa.array(np.minimum(pos, len(nat_keys) - 1)))
+
+    cust_handle = None if force_shuffle else broadcast_lookup_table(
+        f"{sf_dir}/customer.parquet", "c_custkey",
+        ["c_name", "c_nationkey"])
+
+    def finish_tbl(t: pa.Table) -> pa.Table:
+        # per-block top-k prune before the bounded global sort
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_cents", "descending"),
+                          ("c_custkey", "ascending")])[:k]
+        return t.take(idx)
+
+    if cust_handle is not None:
+        def name_topk(batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            looked = lookup_sorted_cols(cust_handle, ck)
+            nk = np.asarray(looked["c_nationkey"], dtype=np.int64)
+            t = pa.table({
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": looked["c_name"],
+                "n_name": add_nation(nk),
+                "revenue_cents": batch.column("cents"),
+            })
+            return finish_tbl(t)
+
+        pruned = totals.map_batches(name_topk, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        cust = _read(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_nationkey"])
+
+        def name_topk_df(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "n_name": add_nation(
+                    df["c_nationkey"].to_numpy(np.int64)).to_pylist(),
+                "revenue_cents": df["cents"].astype(np.int64),
+            })
+            return out.sort_values(
+                ["revenue_cents", "c_custkey"],
+                ascending=[False, True]).head(k)
+
+        pruned = hash_join_via_groupby(
+            totals, cust, "o_custkey", "c_custkey", post=None,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("cents", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_name", pa.string()),
+                                    ("c_nationkey", pa.int64())]))
+        # inner join keeps only ordering customers; totals side came
+        # keyed on o_custkey, so rename+prune per partition
+        pruned = pruned.map_batches(
+            lambda df: name_topk_df(df.rename(
+                columns={"o_custkey": "c_custkey"})
+                if "o_custkey" in df.columns else df),
+            batch_format="pandas")
+
+    return pruned.sort(["revenue_cents", "c_custkey"],
+                       descending=[True, False]).limit(k)
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o_orderdate <  TIMESTAMP '{_Q10_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
 """

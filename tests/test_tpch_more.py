@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("lineitem", "orders", "customer", "supplier", "part")
+TABLES = ("lineitem", "orders", "customer", "supplier", "part", "nation")
 
 
 def _duck(base=SF):
@@ -32,6 +32,7 @@ def _df(res):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["q4_order_priority",
+                                  "q10_returned_revenue",
                                   "q12_priority_by_status",
                                   "q13_order_distribution",
                                   "q14_promo_revenue",
@@ -51,7 +52,8 @@ def test_tpch_more_match_oracle(name):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["q14_promo_revenue",
-                                  "q19_disjunctive_revenue"])
+                                  "q19_disjunctive_revenue",
+                                  "q10_returned_revenue"])
 def test_part_hybrid_twins(name):
     """The budgeted broadcast and the partitioned shuffle join must
     produce the identical table — at 100 TB part outgrows the budget
