@@ -2911,13 +2911,14 @@ QUERIES["audit_documents"] = audit_documents
 ORACLE_SQL["audit_documents"] = AUDIT_DOCUMENTS_SQL
 
 from .tpch_more import (  # noqa: E402
-    Q4_SQL, Q10_SQL, Q12_SQL, Q13_SQL, Q14_SQL, Q15_SQL, Q16_SQL,
-    Q19_SQL, Q22_SQL, q10_returned_revenue,
+    Q4_SQL, Q8_SQL, Q10_SQL, Q12_SQL, Q13_SQL, Q14_SQL, Q15_SQL,
+    Q16_SQL, Q19_SQL, Q22_SQL, q8_market_share, q10_returned_revenue,
     q4_order_priority, q12_priority_by_status, q13_order_distribution,
     q14_promo_revenue, q15_top_supplier, q16_supplier_variety,
     q19_disjunctive_revenue, q22_idle_rich_customers)
 
 QUERIES["q4_order_priority"] = q4_order_priority
+QUERIES["q8_market_share"] = q8_market_share
 QUERIES["q10_returned_revenue"] = q10_returned_revenue
 QUERIES["q12_priority_by_status"] = q12_priority_by_status
 QUERIES["q13_order_distribution"] = q13_order_distribution
@@ -2927,6 +2928,7 @@ QUERIES["q16_supplier_variety"] = q16_supplier_variety
 QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
 QUERIES["q22_idle_rich_customers"] = q22_idle_rich_customers
 ORACLE_SQL["q4_order_priority"] = Q4_SQL
+ORACLE_SQL["q8_market_share"] = Q8_SQL
 ORACLE_SQL["q10_returned_revenue"] = Q10_SQL
 ORACLE_SQL["q12_priority_by_status"] = Q12_SQL
 ORACLE_SQL["q13_order_distribution"] = Q13_SQL

@@ -7,6 +7,7 @@ synthetic tables actually carry (no partsupp / commitdate / shipmode —
 see TESTDATA.md):
 
 * ``q4_order_priority``     — EXISTS semi-join (Q4)
+* ``q8_market_share``       — deepest dimension chain, zero broadcasts (Q8)
 * ``q10_returned_revenue``  — 3-table fact chain + dimension top-k (Q10)
 * ``q12_priority_by_status``— join + two-way conditional aggregation (Q12)
 * ``q13_order_distribution``— LEFT-join count histogram (Q13)
@@ -1004,4 +1005,297 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share: the deepest dimension chain, zero broadcasts
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "AMERICA"
+_Q8_NATION = "NATION_3"
+
+
+def q8_market_share(sf_dir: str, force_shuffle: bool = False):
+    """TPC-H Q8 shape (market share): for PROMO-part lineitems whose
+    order came from a customer in region AMERICA, per order year, the
+    exact integer (target_cents, total_cents) pair where target is
+    revenue supplied from one nation — the share is target/total,
+    left to the consumer as with q14.
+
+    Two plans, the q5 hybrid discipline:
+    * COMMON path (all three SF-scaled dimensions fit the footer-
+      checked broadcast budget): part's promo flag, supplier's
+      nationkey and customer's nationkey all resolve MAP-SIDE, so
+      the whole query costs ONE exchange — the orderkey join that
+      rewrites lineitem partials to (custkey, year) — plus a
+      ≤ |years| groupby.  Nation→region is a closure constant
+      (spec-bounded at 25).
+    * PAST-BUDGET / ``force_shuffle`` plan: the full four-join chain
+      (part → supplier → orders → customer), every exchange carrying
+      PARTIALS — the deepest shuffle chain in the repo, each join's
+      merge task collapsing before the next key.  The twin is pinned
+      equal in tests/test_tpch_more.py, so the plan that actually
+      runs at 100 TB is exercised at test scale.
+    Either way the widest exchange is the promo-filtered lineitem
+    fraction, which is the lower bound any plan pays."""
+    import pyarrow.parquet as pq
+
+    from .joins import (broadcast_int_lookup, broadcast_lookup_table,
+                        groupby_agg_partitioned, hash_join_via_groupby,
+                        lookup_sorted, lookup_sorted_cols)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    region_key = int(reg.column("r_regionkey")[
+        reg.column("r_name").to_pylist().index(_Q8_REGION)].as_py())
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    target_key = int(nk[nat.column("n_name").to_pylist()
+                        .index(_Q8_NATION)])
+    amer_nations = np.sort(nk[np.asarray(nat["n_regionkey"],
+                                         dtype=np.int64) == region_key])
+
+    handles = None
+    if not force_shuffle:
+        ph = broadcast_lookup_table(f"{sf_dir}/part.parquet",
+                                    "p_partkey", ["p_type"])
+        sh = broadcast_int_lookup(f"{sf_dir}/supplier.parquet",
+                                  "s_suppkey", "s_nationkey")
+        ch = broadcast_int_lookup(f"{sf_dir}/customer.parquet",
+                                  "c_custkey", "c_nationkey")
+        if ph is not None and sh is not None and ch is not None:
+            handles = (ph, sh, ch)
+
+    if handles is not None:
+        ph, sh, ch = handles
+        li = _read(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_orderkey",
+                    "l_extendedprice", "l_discount"])
+        out_cols = ["l_orderkey", "target_cents", "total_cents"]
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            promo = pc.equal(lookup_sorted_cols(ph, pk)["p_type"],
+                             "PROMO").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(promo))
+            if len(t) == 0:
+                return pa.table({c: pa.array([], pa.int64())
+                                 for c in out_cols})
+            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tgt = (lookup_sorted(sh, sk) == target_key).astype(np.int64)
+            price = t.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = _cents_np(price * (1.0 - disc))
+            tbl = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "target_cents": pa.array(cents * tgt, pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+            })
+            return _batch_partial(tbl, ["l_orderkey"],
+                                  ["target_cents", "total_cents"]) \
+                .select(out_cols)
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def o_region_year(t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nkk = lookup_sorted(ch, ck)
+            pos = np.searchsorted(amer_nations, nkk)
+            pos_c = np.minimum(pos, len(amer_nations) - 1)
+            t = t.filter(pa.array(amer_nations[pos_c] == nkk))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_year": pc.year(t.column("o_orderdate"))
+                .cast(pa.int64()),
+            })
+
+        def year_finish(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df.groupby("o_year", as_index=False)
+                 .agg(target_cents=("target_cents", "sum"),
+                      total_cents=("total_cents", "sum")))
+            for c in ("target_cents", "total_cents"):
+                g[c] = g[c].astype(np.int64)
+            return g
+
+        j = hash_join_via_groupby(
+            li.map_batches(li_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            orders.map_batches(o_region_year, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            "l_orderkey", "o_orderkey", post=year_finish,
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("target_cents", pa.int64()),
+                                   ("total_cents", pa.int64())]),
+            right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_year", pa.int64())]))
+        return groupby_agg_partitioned(
+            j, ["o_year"],
+            {"target_cents": "sum", "total_cents": "sum"}).sort("o_year")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount"])
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "cents": pa.array(_cents_np(price * (1.0 - disc)), pa.int64()),
+        })
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def p_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t.column("p_partkey").cast(pa.int64()),
+            "is_promo": pc.equal(t.column("p_type"),
+                                 "PROMO").cast(pa.int64()),
+        })
+
+    def promo_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_promo"] == 1]
+        g = (df.groupby(["l_suppkey", "l_orderkey"], as_index=False)
+             .agg(cents=("cents", "sum")))
+        g["cents"] = g["cents"].astype(np.int64)
+        return g
+
+    j1 = hash_join_via_groupby(
+        li.map_batches(li_proj, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        part.map_batches(p_proj, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "l_partkey", "p_partkey", post=promo_collapse,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("is_promo", pa.int64())]))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def s_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+            "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
+        })
+
+    def target_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = (df["s_nationkey"].to_numpy() == target_key).astype(np.int64)
+        cents = df["cents"].to_numpy()
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype(np.int64),
+            "target_cents": cents * tgt,
+            "total_cents": cents,
+        })
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    j2 = hash_join_via_groupby(
+        j1, supp.map_batches(s_proj, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "l_suppkey", "s_suppkey", post=target_collapse,
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int64())]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_year": yr,
+        })
+
+    def cust_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["o_custkey", "o_year"], as_index=False)
+             .agg(target_cents=("target_cents", "sum"),
+                  total_cents=("total_cents", "sum")))
+        for c in ("target_cents", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    j3 = hash_join_via_groupby(
+        j2.map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "target_cents", "total_cents"]),
+            batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "l_orderkey", "o_orderkey", post=cust_collapse,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("target_cents", pa.int64()),
+                               ("total_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_proj(t: pa.Table) -> pa.Table:
+        nkk = t.column("c_nationkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(amer_nations, nkk)
+        pos_c = np.minimum(pos, len(amer_nations) - 1)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "in_region": pa.array(
+                (amer_nations[pos_c] == nkk).astype(np.int64), pa.int64()),
+        })
+
+    def year_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["in_region"] == 1]
+        g = (df.groupby("o_year", as_index=False)
+             .agg(target_cents=("target_cents", "sum"),
+                  total_cents=("total_cents", "sum")))
+        for c in ("target_cents", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    j4 = hash_join_via_groupby(
+        j3, cust.map_batches(c_proj, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "o_custkey", "c_custkey", post=year_collapse,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_year", pa.int64()),
+                               ("target_cents", pa.int64()),
+                               ("total_cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("in_region", pa.int64())]))
+
+    return groupby_agg_partitioned(
+        j4, ["o_year"],
+        {"target_cents": "sum", "total_cents": "sum"}).sort("o_year")
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = '{_Q8_NATION}'
+                THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                          AS BIGINT) ELSE 0 END) AS BIGINT) AS target_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = cn.n_regionkey AND r_name = '{_Q8_REGION}'
+GROUP BY o_year
+ORDER BY o_year
 """

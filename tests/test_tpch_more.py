@@ -15,7 +15,8 @@ import pyarrow.parquet as pq
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("lineitem", "orders", "customer", "supplier", "part", "nation")
+TABLES = ("lineitem", "orders", "customer", "supplier", "part",
+          "nation", "region")
 
 
 def _duck(base=SF):
@@ -32,6 +33,7 @@ def _df(res):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["q4_order_priority",
+                                  "q8_market_share",
                                   "q10_returned_revenue",
                                   "q12_priority_by_status",
                                   "q13_order_distribution",
@@ -62,6 +64,20 @@ def test_part_hybrid_twins(name):
 
     fast = _df(QUERIES[name](SF)).reset_index(drop=True)
     slow = _df(QUERIES[name](SF, force_shuffle=True)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=True,
+                                  check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q8_broadcast_equals_shuffle_chain():
+    """q8's single-exchange broadcast plan must equal the four-join
+    shuffle chain — the plan that actually runs at 100 TB, where all
+    three dimensions outgrow the broadcast budget."""
+    from ray_script_extract.pipelines.tpch_more import q8_market_share
+
+    fast = _df(q8_market_share(SF)).reset_index(drop=True)
+    slow = _df(q8_market_share(SF, force_shuffle=True)) \
+        .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_dtype=True,
                                   check_exact=True)
 
