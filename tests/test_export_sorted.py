@@ -71,3 +71,43 @@ def test_export_sorted_order_and_resume(tmp_path):
     for name, t in mtimes.items():
         assert os.path.getmtime(os.path.join(out, name,
                                              "data.parquet")) == t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_sorted_tie_skew(tmp_path):
+    """90% of docs share one length: equal-rank targets collapse to
+    duplicate boundary values (np.unique dedup), the tie mass stays
+    whole in ONE partition (tie cohesion is what keeps cross-file
+    order total), and fewer-than-requested partitions come out."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 200
+    lens = np.full(n, 50, np.int64)
+    lens[:10] = np.arange(10) + 1        # a small low tail
+    lens[-10:] = np.arange(10) + 100     # a small high tail
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    from ray_script_extract.pipelines.curation import export_sorted
+
+    out = str(tmp_path / "sorted")
+    manifest = export_sorted(tmp_path.as_posix(), out)
+    assert len(manifest) < 8  # duplicate bounds collapsed partitions
+    assert manifest["n_rows"].sum() == n
+    # the dominant length lands whole in exactly one partition
+    host = manifest[(manifest["min_n_chars"] <= 50)
+                    & (manifest["max_n_chars"] >= 50)]
+    assert len(host) == 1
+    assert host["n_rows"].iloc[0] >= 180
+    # ranges stay disjoint and ordered despite the skew
+    parts = _read_back(out)
+    prev_max = None
+    for pid, df in parts:
+        if prev_max is not None:
+            assert df["n_chars"].iloc[0] > prev_max
+        prev_max = df["n_chars"].iloc[-1]

@@ -182,3 +182,28 @@ def test_detect_hot_keys_then_salt():
                                 frac_threshold=0.01, capacity=4)
     assert HOT in hot_small.tolist()
     assert set(hot_small.tolist()) <= {HOT, HOT_MISSING}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_none_and_empty_hot_set():
+    """A uniform key column yields NO hot keys above the threshold,
+    and an empty hot array must behave exactly like no salting."""
+    from ray_script_extract.pipelines.joins import detect_hot_keys
+
+    rng = np.random.default_rng(3)
+    fact = pa.table({
+        "k": pa.array(rng.integers(0, 1000, 5000).astype(np.int64),
+                      pa.int64()),
+        "v": pa.array(np.ones(5000, np.int64), pa.int64()),
+    })
+    hot = detect_hot_keys(ray.data.from_arrow(fact), "k",
+                          frac_threshold=0.01)
+    assert len(hot) == 0
+
+    dim = pa.table({
+        "dk": pa.array(np.arange(1000, dtype=np.int64), pa.int64()),
+        "attr": pa.array(np.arange(1000, dtype=np.int64), pa.int64()),
+    })
+    plain, _ = _run(fact, dim, None)
+    empty, _ = _run(fact, dim, hot)
+    pd.testing.assert_frame_equal(plain, empty)
