@@ -3003,3 +3003,44 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["hop_event_counts"] = hop_event_counts
 ORACLE_SQL["hop_event_counts"] = HOP_EVENTS_SQL
 
+
+# ---------------------------------------------------------------------------
+# Registry ordering for the driver's correctness sample
+# ---------------------------------------------------------------------------
+#
+# The round-robin driver oracle-checks the FIRST 50 insertion-order
+# entries of QUERIES only; round 3's 44 newest queries fell past that
+# window and went driver-unchecked (VERDICT r3 "What's wrong" #2).
+# Re-order so the LEAST-proven entries come first: everything the r03
+# driver artifact already recorded green sinks to the back.  New
+# queries must be registered ABOVE this block so they land in the
+# sampled window automatically.
+
+_R03_DRIVER_CHECKED = [
+    # the exact 50 insertion-order names CORRECTNESS_r03.json recorded
+    "q1_pricing_summary", "q1_rollup", "q3_top_orders",
+    "q3_top_orders_native", "q5_region_revenue", "q6_forecast_revenue",
+    "top_brands_by_revenue", "small_qty_part_revenue",
+    "large_orders_customers", "distinct_part_types",
+    "top_lineitems_by_price", "union_key_accounts",
+    "intersect_repeat_buyers", "orders_above_global_avg",
+    "events_by_type", "daily_event_counts", "events_sessionize",
+    "events_asof_last_signup", "event_value_percentiles",
+    "top_orders_per_priority", "events_rolling_sum3",
+    "events_orders_range_join", "events_funnel", "events_user_pivot",
+    "lapsed_customers", "events_props_k_stats", "dedup_exact",
+    "doc_token_stats", "chunk_documents", "word_frequency",
+    "doc_fingerprint", "knn_cosine", "near_dup_embeddings",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "doc_quality", "doc_winnow_fingerprints", "langid_ngram",
+    "media_features", "media_thumbnails", "character_dialog_counts",
+    "scene_stats", "scene_analysis", "knn_cosine_ivf",
+    "knn_cosine_sq8", "near_dup_embeddings_lsh",
+    "doc_repetition_signals", "tfidf_top_terms", "bm25_search",
+]
+assert set(_R03_DRIVER_CHECKED) <= set(QUERIES), \
+    "r03-checked query renamed without updating the ordering list"
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in set(_R03_DRIVER_CHECKED)},
+    **{k: QUERIES[k] for k in _R03_DRIVER_CHECKED},
+}

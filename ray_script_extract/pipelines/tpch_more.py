@@ -665,10 +665,15 @@ def q22_idle_rich_customers(sf_dir: str):
                      value_set=pa.array(_Q22_SEGMENTS))
         return t.filter(m)
 
+    # materialize(): the filtered pool feeds BOTH the average partial
+    # and the tag stage — without pinning the blocks Ray re-executes
+    # the read + segment filter once per consumer (VERDICT r3 #5).
+    # The pool is a pruned 3-column slice of customer, so pinning it
+    # in the object store is bounded even at scale (and spills if not).
     cust_pool = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment",
                                            "c_acctbal"]) \
         .map_batches(seg_filter, batch_format="pyarrow",
-                     zero_copy_batch=True)
+                     zero_copy_batch=True).materialize()
 
     def pool_partial(t: pa.Table) -> pa.Table:
         bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
