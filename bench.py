@@ -56,7 +56,7 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(sf_dir: str) -> tuple[float, int, dict]:
+def run_flagship(sf_dir: str) -> tuple[float, int, dict, object]:
     import re as _re
 
     from ray_script_extract.pipelines.flagship import flagship_extract
@@ -74,7 +74,7 @@ def run_flagship(sf_dir: str) -> tuple[float, int, dict]:
             stages[m.group(1)[:80]] = float(m.group(2))
     except Exception:
         pass
-    return wall, n_docs, stages
+    return wall, n_docs, stages, ds
 
 
 def main() -> None:
@@ -130,9 +130,16 @@ def main() -> None:
                          mix="pdf_heavy")
 
     t0 = time.time()
-    flagship_sec, n_docs, stages = run_flagship(SF_DIR)
+    flagship_sec, n_docs, stages, flagship_ds = run_flagship(SF_DIR)
     timings["flagship_extract"] = round(flagship_sec, 3)
     timings["flagship_docs_per_sec"] = round(n_docs / flagship_sec, 1)
+
+    # Extract once, share with every span-consuming analytics query
+    # (character_dialog_counts / scene_stats / scene_analysis /
+    # extract_corpus_kinds) — one extraction per bench session instead
+    # of five (VERDICT r3 #3).
+    from ray_script_extract.pipelines.flagship import share_flagship_spans
+    share_flagship_spans(SF_DIR, flagship_ds)
 
     t = time.time()
     n_out = build_extract_pipeline(

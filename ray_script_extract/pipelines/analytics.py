@@ -143,12 +143,14 @@ def _doc_dialog_counts(spans: List[Dict]) -> Dict[str, Tuple[int, int]]:
     return {k: (v[0], v[1]) for k, v in counts.items()}
 
 
-def character_dialog_counts(sf_dir: str, top_k: int = 25):
+def character_dialog_counts(sf_dir: str, top_k: int = 25, spans=None):
     """Corpus-wide top speakers: per-doc graph walk inside map_batches,
-    then a small groupby(character) rollup + sort/limit."""
-    from .flagship import flagship_extract
+    then a small groupby(character) rollup + sort/limit.  ``spans``
+    (dataset or parquet path) or a session-shared extraction skips the
+    per-query corpus re-extraction (see flagship.get_flagship_spans)."""
+    from .flagship import get_flagship_spans
 
-    ds = flagship_extract(sf_dir)
+    ds = get_flagship_spans(sf_dir, spans)
 
     def per_doc(batch: pa.Table) -> pa.Table:
         names: List[str] = []
@@ -174,30 +176,38 @@ def character_dialog_counts(sf_dir: str, top_k: int = 25):
               .limit(top_k))
 
 
-def scene_stats(sf_dir: str):
+def scene_stats(sf_dir: str, spans=None):
     """Scene segmentation stats per document: scenes begin at Scene
-    spans (Analyzer.php:528-543); rollup = corpus totals."""
-    from .flagship import flagship_extract
+    spans (Analyzer.php:528-543); rollup = corpus totals.
 
-    ds = flagship_extract(sf_dir)
+    Kind counting is pure Arrow: ``list_flatten`` + ``struct_field``
+    + ``list_parent_indices`` feed one ``np.bincount`` per kind — no
+    per-span Python walk (unlike the dialog graph, nothing here is
+    sequential).  ``spans`` / the session share skips re-extraction."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .flagship import get_flagship_spans
+
+    ds = get_flagship_spans(sf_dir, spans)
 
     def per_doc(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        n_scenes: List[int] = []
-        n_dialog: List[int] = []
-        n_action: List[int] = []
-        for spans in batch.column("spans").to_pylist():
-            scenes = sum(1 for s in (spans or []) if s["kind"] == "Scene")
-            dialog = sum(1 for s in (spans or []) if s["kind"] == "Dialogue")
-            action = sum(1 for s in (spans or []) if s["kind"] == "Action")
-            n_scenes.append(scenes)
-            n_dialog.append(dialog)
-            n_action.append(action)
+        spans_col = batch.column("spans")
+        n = len(batch)
+        kinds = pc.struct_field(pc.list_flatten(spans_col), "kind")
+        parents = pc.list_parent_indices(spans_col) \
+            .to_numpy(zero_copy_only=False)
+
+        def count(kind: str) -> pa.Array:
+            mask = pc.equal(kinds, kind).to_numpy(zero_copy_only=False)
+            return pa.array(np.bincount(parents[mask], minlength=n)
+                            .astype(np.int64), pa.int64())
+
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "n_scenes": pa.array(n_scenes, pa.int64()),
-            "n_dialogue": pa.array(n_dialog, pa.int64()),
-            "n_action": pa.array(n_action, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "n_scenes": count("Scene"),
+            "n_dialogue": count("Dialogue"),
+            "n_action": count("Action"),
         })
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
@@ -294,14 +304,16 @@ def analyze_scenes(spans: List[Dict],
 
 def scene_analysis(sf_dir: str,
                    analyzers: Tuple[str, ...] = ("DialogAverages",
-                                                 "ActionVersusDialog")):
+                                                 "ActionVersusDialog"),
+                   spans=None):
     """Corpus rollup of the plugin results: the per-doc plugin walk
     runs inside map_batches; the corpus answer is one summed row per
     analyzer metric (rows-only correctness: plugin protocol, not
-    SQL-expressible)."""
-    from .flagship import flagship_extract
+    SQL-expressible).  ``spans`` / the session share skips
+    re-extraction."""
+    from .flagship import get_flagship_spans
 
-    ds = flagship_extract(sf_dir)
+    ds = get_flagship_spans(sf_dir, spans)
 
     def per_doc(batch: pa.Table) -> pa.Table:
         keys: List[str] = []

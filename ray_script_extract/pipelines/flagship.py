@@ -95,7 +95,38 @@ def flagship_extract(sf_dir: str, *, concurrency=None,
                                   batch_size=batch_size)
 
 
-def extract_corpus_kinds(sf_dir: str):
+# Extract-once seam for the analytics family (VERDICT r3 #3): the four
+# span-consuming analytics each re-ran the FULL flagship extraction per
+# query — 4 redundant corpus extractions per bench session, and a real
+# anti-pattern at 100 TB where extraction dominates.  A session owner
+# (bench.py, the CLI) extracts once, materializes, and registers the
+# result here; `get_flagship_spans` hands it out.  Each analytic also
+# accepts an explicit ``spans=`` dataset or parquet path (mirroring the
+# `near_dup_*_from_media` seam, multimodal.py).
+_SHARED_SPANS: Dict[str, "ray.data.Dataset"] = {}
+
+
+def share_flagship_spans(sf_dir: str, ds: "ray.data.Dataset") -> None:
+    """Register a (materialized) extracted-spans dataset for reuse by
+    every analytics query over the same ``sf_dir`` in this session."""
+    _SHARED_SPANS[sf_dir] = ds
+
+
+def get_flagship_spans(sf_dir: str, spans=None) -> "ray.data.Dataset":
+    """Resolve the extracted-spans input for an analytics query:
+    explicit ``spans`` (a Dataset, or a parquet path written by
+    ``stages.lineage``-style sinks) > session-shared extraction >
+    fresh ``flagship_extract``."""
+    if spans is not None:
+        if isinstance(spans, str):
+            return ray.data.read_parquet(spans)
+        return spans
+    if sf_dir in _SHARED_SPANS:
+        return _SHARED_SPANS[sf_dir]
+    return flagship_extract(sf_dir)
+
+
+def extract_corpus_kinds(sf_dir: str, spans=None):
     """Distribution of extracted span kinds over the flagship corpus
     (rows-only correctness: not SQL-expressible — the extraction is a
     DOM/block state machine, not a relational op)."""
@@ -103,7 +134,7 @@ def extract_corpus_kinds(sf_dir: str):
 
     from ..stages.extract import explode_spans
 
-    ds = flagship_extract(sf_dir)
+    ds = get_flagship_spans(sf_dir, spans)
     return (ds.map_batches(explode_spans, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("kind").aggregate(Count(alias_name="n"))

@@ -357,3 +357,45 @@ def test_near_dup_videos_crafted():
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == ham(1, 3)
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_once_shared_spans_identical():
+    """The extract-once seam: analytics fed a pre-extracted (shared or
+    explicit) spans dataset must produce byte-identical results to the
+    fresh-extraction path, and scene_stats' Arrow kind counting must
+    match a per-row Python recount."""
+    from ray_script_extract.pipelines.analytics import (
+        character_dialog_counts,
+        scene_stats,
+    )
+    from ray_script_extract.pipelines.flagship import (
+        _SHARED_SPANS,
+        flagship_extract,
+        share_flagship_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fresh_scene = scene_stats(sf).to_pandas()
+    fresh_chars = character_dialog_counts(sf).to_pandas()
+
+    shared = flagship_extract(sf).materialize()
+    share_flagship_spans(sf, shared)
+    try:
+        assert scene_stats(sf).to_pandas().equals(fresh_scene)
+        assert character_dialog_counts(sf).to_pandas().equals(fresh_chars)
+        # explicit dataset param beats the share
+        assert scene_stats(sf, spans=shared).to_pandas().equals(fresh_scene)
+    finally:
+        _SHARED_SPANS.clear()
+
+    # vectorized kind counts == naive recount on a sample of docs
+    sample = shared.take(20)
+    by_doc = {r["doc_id"]: r for _, r in fresh_scene.iterrows()}
+    for row in sample:
+        want = by_doc[row["doc_id"]]
+        spans = row["spans"] or []
+        assert want["n_scenes"] == sum(s["kind"] == "Scene" for s in spans)
+        assert want["n_dialogue"] == sum(
+            s["kind"] == "Dialogue" for s in spans)
+        assert want["n_action"] == sum(s["kind"] == "Action" for s in spans)
