@@ -24,6 +24,7 @@ query, not one per batch).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Sequence
 
 import numpy as np
@@ -31,9 +32,132 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 _HASH_MULT = np.uint64(1000003)
+
+
+# ---------------------------------------------------------------------------
+# The exchange primitive
+# ---------------------------------------------------------------------------
+#
+# Every keyed operation below reduces to ONE exchange: co-locate all
+# rows with the same small-int partition id, then run a vectorized
+# merge per partition.  Ray Data's only native way to express that is
+# ``groupby(part_col).map_groups`` — which implements groupby as a full
+# RANGE SORT: sample boundaries, sort every block, range-split each of
+# B blocks into B output ranges (B x B tiny slices), and merge.  At
+# q3's shape (128 tagged blocks) that is ~16k tiny objects and 8.6 s of
+# a 10.4 s query — a fixed per-exchange tax that made chained joins ~5x
+# slower than their data volume justifies (CLAUDE.md, VERDICT r3 #5).
+#
+# ``exchange_map_partitions`` replaces it with the classic two-stage
+# hash shuffle in raw Ray tasks (the documented last-resort tier: the
+# Dataset API cannot express a keyed exchange without the sort):
+#
+#   split:  one task per upstream block slices it into P contiguous
+#           partition runs (ONE stable argsort on the int id — no
+#           sampling, no global order) → B x P objects, P = reduce
+#           width (default max(32, CPUs)), not B x B.
+#   merge:  one task per NON-EMPTY partition concats its B run slices
+#           (object-store reads, zero-copy plasma) and applies the
+#           caller's merge fn.
+#
+# The result re-enters the Dataset world via ``from_arrow_refs`` — the
+# blocks never touch the driver.  Partition-emptiness is decided from
+# the split tasks' count vectors (tiny int arrays), so empty
+# partitions schedule nothing, matching map_groups' only-existing-
+# groups contract.  Within a partition the row order is (block order,
+# in-block order) — deterministic, but different from the sort path's;
+# every merge fn here is order-insensitive (they groupby/sort/searchsorted
+# internally), and the sort twin stays available for A/B pinning via
+# RAY_GRAFT_EXCHANGE=sort (tests pin bit-identical results on both).
+#
+# Scale notes: this is the same all-to-all a cluster shuffle performs —
+# map outputs live in the object store (spillable), reduce reads pull
+# remotely on a multi-node cluster.  The driver coordinates task
+# submission only (B + P task handles, B count vectors); no row data
+# crosses it.
+
+_EXCHANGE_ENV = "RAY_GRAFT_EXCHANGE"
+
+
+def _exchange_engine() -> str:
+    return os.environ.get(_EXCHANGE_ENV, "task")
+
+
+@ray.remote
+def _exchange_split(block, part_col: str, num_partitions: int):
+    import ray_script_extract as _rse
+    _rse._tune_malloc()
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if part_col not in block.schema.names:
+        # Ray Data passes EMPTY blocks through map_batches without
+        # running the UDF, so a 0-row upstream block (e.g. an inner
+        # join partition that matched nothing) arrives untagged —
+        # contribute nothing to every partition
+        if len(block) == 0:
+            empty = block.select([])
+            return (*[empty] * num_partitions,
+                    np.zeros(num_partitions, np.int64))
+        raise KeyError(f"partition column {part_col!r} missing from a "
+                       f"non-empty block: {block.schema.names}")
+    pid = block.column(part_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(pid, kind="stable")
+    tbl = block.take(pa.array(order))
+    spid = pid[order]
+    bounds = np.searchsorted(spid, np.arange(num_partitions + 1))
+    outs = [tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(num_partitions)]
+    return (*outs, (bounds[1:] - bounds[:-1]).astype(np.int64))
+
+
+@ray.remote
+def _exchange_merge(fn, *parts):
+    import ray_script_extract as _rse
+    _rse._tune_malloc()
+    # permissive: one side of a join union may carry a narrower
+    # physical type (e.g. int32 parquet dictionary column) than the
+    # other side's declared pad (int64) — unify upward exactly as the
+    # sort engine's pandas round-trip did
+    t = pa.concat_tables(parts, promote_options="permissive") \
+        if len(parts) > 1 else parts[0]
+    return fn(t)
+
+
+def exchange_map_partitions(ds: "ray.data.Dataset", part_col: str,
+                            num_partitions: int,
+                            fn: Callable[[pa.Table], pa.Table]
+                            ) -> "ray.data.Dataset":
+    """Co-locate rows by the small-int ``part_col`` and apply ``fn``
+    (pa.Table -> pa.Table) once per non-empty partition.  Engine picked
+    by $RAY_GRAFT_EXCHANGE: "task" (default, two-stage hash shuffle in
+    raw tasks — no sort barrier) or "sort" (Ray Data's native
+    groupby/map_groups, kept as the bit-identical A/B twin)."""
+    if _exchange_engine() == "sort":
+        return ds.groupby(part_col).map_groups(fn, batch_format="pyarrow")
+
+    block_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        return ray.data.from_items([])
+
+    split = _exchange_split.options(num_returns=num_partitions + 1)
+    splits = [split.remote(br, part_col, num_partitions)
+              for br in block_refs]
+    counts = np.vstack(ray.get([s[num_partitions] for s in splits]))
+    fn_ref = ray.put(fn)
+    out_refs = []
+    for p in range(num_partitions):
+        refs = [splits[i][p] for i in np.flatnonzero(counts[:, p])]
+        if refs:
+            out_refs.append(_exchange_merge.remote(fn_ref, *refs))
+    if not out_refs:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def default_partitions() -> int:
@@ -90,12 +214,24 @@ def hash_partitioned_map(ds: "ray.data.Dataset", keys: Sequence[str],
             "__gp", pa.array(_partition_ids(tbl, keys, num_partitions),
                              pa.int64()))
 
-    def reduce(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns="__gp"))
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
-    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("__gp")
-              .map_groups(reduce, batch_format="pandas"))
+    if _exchange_engine() == "sort":
+        def reduce(df: pd.DataFrame) -> pd.DataFrame:
+            return fn(df.drop(columns="__gp"))
+
+        return tagged.groupby("__gp").map_groups(reduce,
+                                                 batch_format="pandas")
+
+    def reduce_tbl(t: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        out = fn(t.to_pandas().drop(columns="__gp"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return exchange_map_partitions(tagged, "__gp", num_partitions,
+                                   reduce_tbl)
 
 
 def groupby_agg_partitioned(ds: "ray.data.Dataset", keys: List[str],
@@ -313,7 +449,10 @@ def hash_join_via_groupby(left: "ray.data.Dataset", right: "ray.data.Dataset",
             merged = post(merged)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
-    return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")
+    total_partitions = num_partitions + (
+        len(hot_sorted) * num_salts if hot_sorted is not None else 0)
+    return exchange_map_partitions(unioned, "__part", total_partitions,
+                                   merge)
 
 
 _BROADCAST_LOOKUP_ROWS = 5_000_000  # ~80 MB of (key, val) int64 pairs
