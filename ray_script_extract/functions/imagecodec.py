@@ -98,13 +98,17 @@ def _decode_ppm(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image bytes → (H, W, C) uint8.  PNG and binary PPM supported;
-    anything else raises ValueError (the caller decides whether to
-    fall back to a hash feature)."""
+    """Image bytes → (H, W, C) uint8.  PNG, binary PPM and baseline
+    JPEG (T.81 — the payload a PDF ``/DCTDecode`` XObject carries)
+    supported; anything else raises ValueError (the caller decides
+    whether to fall back to a hash feature)."""
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload)
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     raise ValueError("unsupported image format")
 
 

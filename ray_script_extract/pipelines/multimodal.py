@@ -1,12 +1,14 @@
 """Multimodal (image/audio/video) stages: opaque binary payloads with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Image decode is REAL: a pure-Python PNG/PPM codec
+Image decode is REAL: pure-Python PNG/PPM codecs
 (``functions.imagecodec`` — written from the public PNG/PNM specs, no
-imaging library needed) decodes payloads to (H, W, C) uint8, and the
-feature is a deterministic pixel-statistics vector.  Payloads in an
-unsupported format (or absent) fall back to the hash feature so the
-pipeline stays total.  Audio/video codecs remain out of scope for this
+imaging library needed) plus a baseline JPEG codec
+(``functions.jpegcodec``, ITU-T T.81 — the format PDF ``/DCTDecode``
+XObjects carry) decode payloads to (H, W, C) uint8, and the feature is
+a deterministic pixel-statistics vector.  Payloads in an unsupported
+format (or absent) fall back to the hash feature so the pipeline stays
+total.  Audio/video beyond WAV/RAWV remain out of scope for this
 container and take the fallback path.
 """
 
@@ -32,8 +34,8 @@ FEATURE_DIM = 32
 
 
 def decode_image_real(payload: bytes) -> "np.ndarray":
-    """Decode image bytes to HxWxC uint8 — pure-Python PNG/PPM codec
-    (raises ValueError on other formats)."""
+    """Decode image bytes to HxWxC uint8 — pure-Python PNG/PPM/JPEG
+    codec (raises ValueError on other formats)."""
     from ..functions.imagecodec import decode_image
 
     return decode_image(payload)

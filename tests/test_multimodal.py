@@ -399,3 +399,101 @@ def test_extract_once_shared_spans_identical():
         assert want["n_dialogue"] == sum(
             s["kind"] == "Dialogue" for s in spans)
         assert want["n_action"] == sum(s["kind"] == "Action" for s in spans)
+
+
+def test_jpeg_roundtrip_and_psnr():
+    """Baseline JPEG codec (T.81): encode→decode round-trips with high
+    fidelity on smooth content, grayscale and color, odd sizes."""
+    import numpy as np
+
+    from ray_script_extract.functions.imagecodec import decode_image
+    from ray_script_extract.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((48, 80, 3), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 80)[None, :].astype(np.uint8)
+    img[:, :, 1] = np.linspace(0, 255, 48)[:, None].astype(np.uint8)
+    img[:, :, 2] = 96
+    payload = encode_jpeg(img, quality=90)
+    assert payload[:3] == b"\xff\xd8\xff"
+    dec = decode_jpeg(payload)
+    assert dec.shape == (48, 80, 3)
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 35.0
+
+    # decode_image dispatches on the JPEG magic
+    assert decode_image(payload).shape == (48, 80, 3)
+
+    # grayscale + odd dimensions
+    g = np.clip(np.linspace(0, 255, 37)[:, None]
+                + np.linspace(0, 50, 53)[None, :], 0, 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=85))
+    assert dg.shape == (37, 53, 1)
+    mse_g = ((dg[:, :, 0].astype(float) - g) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse_g, 1e-9)) > 35.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jpeg_reencodes_band_as_near_dups():
+    """Two re-encoded variants (q90 / q55) of ONE image, embedded in a
+    fixture PDF as /DCTDecode XObjects: extraction emits two DISTINCT
+    content-addressed media spans (payloads differ), and the
+    perceptual pipeline (decode → ahash64 → banding) pairs them — the
+    gap VERDICT r3 named: byte-hash features are blind to re-encoded
+    JPEG near-dups; decoded pixels are not."""
+    import base64
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ray_script_extract.functions.jpegcodec import encode_jpeg
+    from ray_script_extract.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        near_dup_images_from_media,
+    )
+    from ray_script_extract.sources.pdf_fixtures import build_pdf
+    from ray_script_extract.stages.extract import ExtractorActor
+
+    rng = np.random.RandomState(42)
+    base = np.zeros((32, 32, 3), np.uint8)
+    base[:, :, 0] = np.linspace(10, 240, 32)[None, :].astype(np.uint8)
+    base[:, :, 1] = np.linspace(240, 10, 32)[:, None].astype(np.uint8)
+    base[8:24, 8:24, 2] = 200  # a block feature the hash keys on
+    v90 = encode_jpeg(base, quality=90)
+    v55 = encode_jpeg(base, quality=55)
+    assert v90 != v55  # genuinely different payloads
+    unrelated = encode_jpeg(rng.randint(0, 255, (32, 32, 3), np.uint8),
+                            quality=90)
+
+    # PDF plumbing: both variants surface as distinct media spans
+    pdf = build_pdf(
+        [[(100, 72, "Page one.")]],
+        images=[[{"data": v90, "w": 32, "h": 32,
+                  "x": 72, "y": 600, "dw": 64, "dh": 64},
+                 {"data": v55, "w": 32, "h": 32,
+                  "x": 200, "y": 600, "dw": 64, "dh": 64}]])
+    spans = ExtractorActor().extract_doc(
+        "d1", [{"kind": "pdf_raw",
+                "text": base64.b64encode(pdf).decode()}])
+    img_spans = [s for s in spans if s["kind"] == "image"]
+    assert {s["media_ref"] for s in img_spans} == {
+        f"img://sha256/{hashlib.sha256(v90).hexdigest()}",
+        f"img://sha256/{hashlib.sha256(v55).hexdigest()}"}
+
+    # perceptual near-dup: the two re-encodes pair; the unrelated
+    # image pairs with neither
+    media = ray.data.from_arrow(pa.Table.from_arrays([
+        pa.array(["img://a", "img://b", "img://c"], pa.string()),
+        pa.array(["doc-00000000", "doc-00000008", "doc-00000016"],
+                 pa.string()),
+        pa.array([v90, v55, unrelated], pa.binary()),
+        pa.array(["image"] * 3, pa.string()),
+    ], schema=MEDIA_SCHEMA))
+    pairs = near_dup_images_from_media(media, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 8) in got
+    assert all(16 not in p for p in got)
