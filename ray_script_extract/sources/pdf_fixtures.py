@@ -41,7 +41,13 @@ def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
         ty = page_h - top - SIZE_PX
         parts.append(f"1 0 0 1 {left} {ty} Tm")
         if opts.get("cid"):
-            hexcodes = "".join(f"{ord(ch):04X}" for ch in text)
+            enc = opts.get("cid_encoding")
+            if enc:
+                # legacy-CMap twin: code bytes in the national
+                # encoding the predefined CMap's codespace names
+                hexcodes = text.encode(enc).hex().upper()
+            else:
+                hexcodes = "".join(f"{ord(ch):04X}" for ch in text)
             parts.append(f"<{hexcodes}> Tj")
         else:
             parts.append(f"({_escape_pdf_string(text)}) Tj")

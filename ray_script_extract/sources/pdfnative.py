@@ -632,6 +632,31 @@ def _glyph_to_char(name: str) -> Optional[str]:
     return None
 
 
+# Non-Unicode predefined CMap -> the legacy national encoding its
+# codespace encodes (Adobe's public CMap resources define each as the
+# named encoding of its character collection; Python ships codecs for
+# all of them).  Registered Adobe-GB1 / Japan1 / CNS1 / Korea1 forms:
+_CJK_CMAP_CODECS = [
+    (r"/GB-EUC-[HV]$", "gb2312"),          # EUC-CN, Adobe-GB1
+    (r"/GBpc-EUC-[HV]$", "gb2312"),        # Mac GB 2312 variant
+    (r"/GBKp?-EUC-[HV]$", "gbk"),          # GBK
+    (r"/GBK2K-[HV]$", "gb18030"),          # GB 18030-2000
+    (r"/UniGB-UTF8-[HV]$", "utf-8"),
+    (r"/90msp?-RKSJ-[HV]$", "cp932"),      # Microsoft Shift-JIS
+    (r"/90pv-RKSJ-[HV]$", "cp932"),        # Mac KanjiTalk6 ~ SJIS
+    (r"/(Add|Ext)-RKSJ-[HV]$", "cp932"),
+    (r"/EUC-[HV]$", "euc_jp"),             # JIS X 0208 EUC
+    (r"/UniJIS(2004|X0213.*)?-UTF8-[HV]$", "utf-8"),
+    (r"/B5pc-[HV]$", "big5"),              # Mac Big-5
+    (r"/ETen(ms)?-B5-[HV]$", "cp950"),     # ETen Big-5
+    (r"/HKscs-B5-[HV]$", "big5hkscs"),
+    (r"/UniCNS-UTF8-[HV]$", "utf-8"),
+    (r"/KSC-EUC-[HV]$", "euc_kr"),         # KS X 1001 EUC
+    (r"/KSCms-UHC(-HW)?-[HV]$", "cp949"),  # Unified Hangul Code
+    (r"/UniKS-UTF8-[HV]$", "utf-8"),
+]
+
+
 class _Font:
     def __init__(self, doc: PdfDocument, font_dict: Dict) -> None:
         self.base = doc.resolve(font_dict.get("/BaseFont")) or "/Courier"
@@ -664,15 +689,28 @@ class _Font:
         # code bytes ARE the Unicode encoding: decode via utf-16-be
         # (surrogate pairs in the UTF16 forms combine correctly, which
         # per-code chr() cannot do).  Non-Unicode predefined CMaps
-        # (GBK-EUC-H etc.) need Adobe's mapping tables and keep the
-        # best-effort 2-byte decode; widths for non-Identity CMaps use
-        # /DW (CID lookup would need the same tables).
+        # (GB-EUC-H, 90ms-RKSJ-H, ETen-B5-H, KSCms-UHC-H, …) have
+        # codespaces that ARE the corresponding legacy national
+        # encodings (EUC-CN, Shift-JIS/CP932, Big5, UHC — per Adobe's
+        # public CMap resources, each is "the <encoding> encoding of
+        # the <collection> character set"), so TEXT decodes through
+        # Python's built-in codec for that encoding — no Adobe CID
+        # tables needed for extraction.  Widths for non-Identity CMaps
+        # use /DW (a per-CID width lookup WOULD need the tables);
+        # vertical (V) forms decode identically, writing direction is
+        # carried by Tm as everywhere else in this engine.
         self.cid = doc.resolve(font_dict.get("/Subtype")) == "/Type0"
         enc_name = doc.resolve(font_dict.get("/Encoding"))
         self.cid_utf16 = bool(
             isinstance(enc_name, str)
             and re.match(r"/Uni(GB|JIS|JIS2004|JISX0213|KS|CNS)"
                          r"-(UCS2|UTF16)-[HV]$", enc_name))
+        self.cid_codec = None
+        if isinstance(enc_name, str) and not self.cid_utf16:
+            for pat, codec in _CJK_CMAP_CODECS:
+                if re.match(pat, enc_name):
+                    self.cid_codec = codec
+                    break
         self.default_width = 1000.0
         self.cid_widths: Dict[int, float] = {}
         desc_dict: Optional[Dict] = None
@@ -764,6 +802,8 @@ class _Font:
             return "".join(self.to_unicode.get(c, chr(c)) for c in codes)
         if self.cid and self.cid_utf16:
             return raw.decode("utf-16-be", "ignore")
+        if self.cid and self.cid_codec:
+            return raw.decode(self.cid_codec, "ignore")
         if self.cid:
             return "".join(chr(c) for c in codes)
         if self.diff_map:
@@ -771,6 +811,14 @@ class _Font:
         return raw.decode("latin-1")
 
     def advance_units(self, raw: bytes) -> float:
+        if self.cid and self.cid_codec:
+            # mixed 1/2-byte legacy codespace: one CID per DECODED
+            # char (the fixed 2-byte walk would halve ASCII runs);
+            # per-CID /W lookup would need Adobe's CID tables, so
+            # every CID advances /DW — same rule as the widths note
+            # in __init__
+            return self.default_width * len(raw.decode(self.cid_codec,
+                                                       "ignore"))
         codes = self._codes(raw)
         if self.cid:
             return sum(self.cid_widths.get(c, self.default_width)

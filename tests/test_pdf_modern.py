@@ -577,3 +577,45 @@ def test_v5_r5_handler():
                          "/U": u, "/UE": ue}, b"")
     assert d.method == "aesv3" and d.file_key == fk
     assert d.decrypt(d.encrypt(b"r5 payload", 1, 0), 2, 0) == b"r5 payload"
+
+
+def test_legacy_cjk_cmaps_decode_like_ucs2_twin():
+    """Non-Unicode predefined CMaps: the codespace of GB-EUC /
+    RKSJ / B5 / UHC CMaps IS the corresponding legacy national
+    encoding (Adobe's public CMap resources), so a document authored
+    with legacy code bytes must extract IDENTICALLY to its UCS2 twin
+    carrying the same text."""
+    text = "機械は動く。"
+    gb_text = "机器在运转。"
+    cases = [
+        ("/90ms-RKSJ-H", "cp932", text, "/UniJIS-UCS2-H"),
+        ("/GBK-EUC-H", "gbk", gb_text, "/UniGB-UCS2-H"),
+        ("/ETen-B5-H", "cp950", "機器運轉。", "/UniCNS-UCS2-H"),
+        ("/KSCms-UHC-H", "cp949", "기계가 움직인다.", "/UniKS-UCS2-H"),
+    ]
+    for legacy_cmap, codec, txt, uni_cmap in cases:
+        # both lines ride the CMap (a one-font Type0 page): ASCII is
+        # 1-byte in the legacy codespace, 2-byte in UCS2
+        pages_legacy = [[(72, 108, "INT. LAB - NIGHT",
+                          {"cid": True, "cid_encoding": codec}),
+                         (96, 108, txt,
+                          {"cid": True, "cid_encoding": codec})]]
+        pages_uni = [[(72, 108, "INT. LAB - NIGHT", {"cid": True}),
+                      (96, 108, txt, {"cid": True})]]
+        legacy = pdf_to_page_xml(build_pdf(pages_legacy, type0=True,
+                                           cid_cmap=legacy_cmap))
+        uni = pdf_to_page_xml(build_pdf(pages_uni, type0=True,
+                                        cid_cmap=uni_cmap))
+        assert legacy == uni, legacy_cmap
+        assert txt in legacy[0], legacy_cmap
+
+
+def test_legacy_cmap_mixed_ascii_and_cjk():
+    """RKSJ is a MIXED codespace (1-byte ASCII + 2-byte kanji): the
+    byte-stream codec decode must handle both in one string — the
+    per-2-byte code walk cannot."""
+    mixed = "ACT 2 第二幕 END"
+    pages = [[(72, 108, mixed, {"cid": True, "cid_encoding": "cp932"})]]
+    out = pdf_to_page_xml(build_pdf(pages, type0=True,
+                                    cid_cmap="/90ms-RKSJ-H"))
+    assert mixed in out[0]
