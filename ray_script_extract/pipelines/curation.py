@@ -383,11 +383,17 @@ def export_curated(sf_dir: str, output_dir: str,
         return pd.DataFrame({"pid": [pid], "rows": [len(best)],
                              "skipped": [0]})
 
-    summary = (ds.map_batches(score_filter, batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .groupby("__gp")
-                 .map_groups(write_group, batch_format="pandas")
-                 .to_pandas())  # ≤ num_partitions rows
+    def write_group_tbl(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(write_group(t.to_pandas()),
+                                    preserve_index=False)
+
+    from .joins import exchange_map_partitions
+
+    summary = exchange_map_partitions(
+        ds.map_batches(score_filter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "__gp", num_partitions,
+        write_group_tbl).to_pandas()  # ≤ num_partitions rows
     return {
         "partitions_total": int(len(summary)),
         "partitions_skipped": int(summary["skipped"].sum()),
@@ -718,11 +724,17 @@ def export_sorted(sf_dir: str, output_dir: str,
                             metrics={"pid": pid, "rows": len(part)})
         return manifest
 
-    out = (docs.map_batches(assign, batch_format="pyarrow",
-                            zero_copy_batch=True)
-           .groupby("__pid")
-           .map_groups(write_sorted, batch_format="pandas")
-           .to_pandas())  # <= num_partitions rows
+    def write_sorted_tbl(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(write_sorted(t.to_pandas()),
+                                    preserve_index=False)
+
+    from .joins import exchange_map_partitions
+
+    out = exchange_map_partitions(
+        docs.map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "__pid", num_partitions, write_sorted_tbl
+    ).to_pandas()  # <= num_partitions rows
     return out.sort_values("pid").reset_index(drop=True)
 
 

@@ -133,17 +133,20 @@ def _bucket_pairs(band_rows: "ray.data.Dataset") -> "ray.data.Dataset":
         a, b = _runs_pairs(ids[keep[run_id]], sizes[keep])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    def as_arrow(df: pd.DataFrame) -> pa.Table:
+    def partition_pairs_tbl(t: pa.Table) -> pa.Table:
         # explicit-schema Arrow even for EMPTY partitions: a single
         # schemaless empty pandas block downstream forces Ray's sort
         # into pandas unification, NaN-floating every int column
-        return pa.Table.from_pandas(df, schema=PAIRS_SCHEMA,
+        return pa.Table.from_pandas(partition_pairs(t.to_pandas()),
+                                    schema=PAIRS_SCHEMA,
                                     preserve_index=False)
 
-    return (band_rows.map_batches(_add_part, batch_format="pandas")
-            .groupby("__part")
-            .map_groups(partition_pairs, batch_format="pandas")
-            .map_batches(as_arrow, batch_format="pandas"))
+    from .joins import default_partitions, exchange_map_partitions
+
+    tagged = band_rows.map_batches(_add_part, batch_format="pandas")
+    return exchange_map_partitions(tagged, "__part",
+                                   default_partitions(),
+                                   partition_pairs_tbl)
 
 
 def _join_back(pairs: "ray.data.Dataset", side_table: "ray.data.Dataset",
@@ -522,12 +525,21 @@ def hamming_pairs_64(band_rows: "ray.data.Dataset",
         raise ValueError(
             "4×16-bit banding guarantees recall only for hamming <= 3; "
             "use more bands for a looser threshold")
-    from .joins import groupby_agg_partitioned
+    from .joins import (default_partitions, exchange_map_partitions,
+                        groupby_agg_partitioned)
 
-    pairs = (band_rows
-             .map_batches(_add_part, batch_format="pandas")
-             .groupby("__part")
-             .map_groups(_partition_hamming_pairs, batch_format="pandas"))
+    hamming_schema = pa.schema([("id_a", pa.int64()),
+                                ("id_b", pa.int64()),
+                                ("hamming", pa.int64())])
+
+    def pairs_tbl(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _partition_hamming_pairs(t.to_pandas()),
+            schema=hamming_schema, preserve_index=False)
+
+    pairs = exchange_map_partitions(
+        band_rows.map_batches(_add_part, batch_format="pandas"),
+        "__part", default_partitions(), pairs_tbl)
     return (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
                                     {"hamming": "min"})
             .map_batches(lambda b: b.filter(

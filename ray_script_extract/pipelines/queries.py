@@ -1664,14 +1664,18 @@ FROM o GROUP BY user_id ORDER BY user_id
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on text, keep min(doc_id) per group.
-    At scale the groupby key would be a 128-bit content hash computed
-    in a map stage (shrinks shuffle payload); semantics identical."""
+    Routed through the task-exchange groupby (one hash shuffle, pandas
+    reduce per partition) — the native groupby would RANGE-SORT the
+    full text column.  At scale the groupby key would be a 128-bit
+    content hash computed in a map stage (shrinks shuffle payload);
+    semantics identical."""
+    from .joins import groupby_agg_partitioned
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = (ds.groupby("text")
-             .aggregate(Min("doc_id", alias_name="doc_id"))
-             .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
-             .sort("doc_id"))
-    return out
+    return (groupby_agg_partitioned(ds, ["text"], {"doc_id": "min"})
+            .map_batches(lambda b: b.select(["doc_id"]),
+                         batch_format="pyarrow")
+            .sort("doc_id"))
 
 
 DEDUP_EXACT_SQL = """
