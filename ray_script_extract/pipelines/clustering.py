@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -34,7 +35,36 @@ import ray.data
 from .similarity import _read_emb, kmeans_fit, _sample_matrix
 
 
-def _lloyd_pass(sf_dir: str, centroids: np.ndarray,
+def _normalized_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Read → L2-normalize → f8 fixed-size-list, materialized ONCE:
+    the n_iter+1 downstream passes reuse the object-store blocks
+    instead of re-reading parquet and re-converting list<float> →
+    matrix every iteration (at 10^12 rows this is one spillable
+    object-store copy the whole Lloyd loop amortizes).  Both pack and
+    unpack are zero-Python-loop: ravel → FixedSizeListArray one way,
+    flatten → reshape the other."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        m = np.vstack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        nemb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), m.shape[1])
+        return pa.table({"vec_id": batch.column("vec_id").cast(pa.int64()),
+                         "nemb": nemb})
+
+    return _read_emb(sf_dir).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+def _unpack(batch: pa.Table) -> "np.ndarray":
+    flat = pc.list_flatten(batch.column("nemb"))
+    return flat.to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+
+
+def _lloyd_pass(norm_ds: "ray.data.Dataset", centroids: np.ndarray,
                 driver_combine: bool = False):
     """One distributed Lloyd iteration: returns (new_centroids,
     inertia, n_assigned) — inertia is Σ (1 - cos(x, c(x))) over
@@ -58,9 +88,7 @@ def _lloyd_pass(sf_dir: str, centroids: np.ndarray,
         _rse._tune_malloc()  # by-value-pickled closure, see package doc
         cents = ray.get(bc)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        m = np.vstack(batch.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        m = _unpack(batch)
         sims = m @ cents.T
         assign = sims.argmax(axis=1)
         best = sims[np.arange(len(m)), assign]
@@ -94,7 +122,7 @@ def _lloyd_pass(sf_dir: str, centroids: np.ndarray,
             "inertia": np.add.reduceat(df["inertia"].to_numpy(), starts),
         })
 
-    partials = _read_emb(sf_dir).map_batches(
+    partials = norm_ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     if driver_combine:
         # ≤ k rows per input block; reduce() itself sorts by
@@ -140,9 +168,11 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
         f"{sf_dir}/embeddings.parquet").metadata.num_rows
     driver_combine = n_rows <= 50_000_000 and not force_shuffle_combine
 
+    norm_ds = _normalized_ds(sf_dir)
+
     trajectory = []
     for _ in range(n_iter):
-        centroids, inertia, _ = _lloyd_pass(sf_dir, centroids,
+        centroids, inertia, _ = _lloyd_pass(norm_ds, centroids,
                                             driver_combine)
         trajectory.append(inertia)
 
@@ -150,16 +180,14 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(bc)
-        m = np.vstack(batch.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        m = _unpack(batch)
         return pa.table({
-            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "vec_id": batch.column("vec_id"),
             "cluster": pa.array((m @ cents.T).argmax(axis=1)
                                 .astype(np.int64), pa.int64()),
         })
 
-    out = (_read_emb(sf_dir)
+    out = (norm_ds
            .map_batches(assign, batch_format="pyarrow",
                         zero_copy_batch=True)
            .sort("vec_id"))
