@@ -72,11 +72,23 @@ def pack_token_stream(tokens: "ray.data.Dataset", window: int = _WINDOW,
     ``tokens`` is consumed twice (bucket sums, then the bucket-wise
     assignment), so callers chaining it after shuffles should pass a
     MATERIALIZED small projection."""
-    from .joins import groupby_agg_partitioned
+    # pass 1: per-bucket sums → driver cumsum (bounded, see module
+    # doc).  Per-BATCH partials (a few rows each — contiguous doc_ids
+    # touch ~2 buckets per batch) stream straight to the driver
+    # combine; shuffling the full token rows through an exchange for
+    # this bounded aggregate would be pure overhead.
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        acc = np.zeros(len(ub), np.int64)
+        np.add.at(acc, inv, n.astype(np.int64))
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n_tokens": pa.array(acc, pa.int64())})
 
-    # pass 1: per-bucket sums → driver cumsum (bounded, see module doc)
-    sums = groupby_agg_partitioned(
-        tokens, ["bucket"], {"n_tokens": "sum"}).to_pandas()
+    sums = tokens.map_batches(bucket_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    sums = sums.groupby("bucket", as_index=False)["n_tokens"].sum()
     sums = sums.sort_values("bucket").reset_index(drop=True)
     bucket_ids = sums["bucket"].to_numpy()
     offsets = np.concatenate(

@@ -438,20 +438,33 @@ def _repetition_batch(batch: pa.Table) -> pa.Table:
     top_count = np.zeros(n, np.int64)
     if len(words) > 1:
         same_doc = wdoc[:-1] == wdoc[1:]
-        bdf = pd.DataFrame({
-            "d": wdoc[:-1][same_doc],
-            "bg": (pd.Series(words[:-1][same_doc], dtype=object) + " "
-                   + pd.Series(words[1:][same_doc], dtype=object)).to_numpy(),
-        })
-        if len(bdf):
-            bc = bdf.groupby(["d", "bg"], sort=False).size() \
-                .reset_index(name="c")
-            bc = bc.sort_values(["d", "c", "bg"],
-                                ascending=[True, False, True],
-                                kind="stable").drop_duplicates("d")
-            bidx = bc["d"].to_numpy(np.int64)
-            top_bigram[bidx] = bc["bg"].to_numpy()
-            top_count[bidx] = bc["c"].to_numpy(np.int64)
+        # factorized bigram counting (int codes, not strings — see
+        # _bigram_rows); only the per-doc max-count TIES materialize
+        # as strings, because the tie-break is lexicographic on the
+        # bigram string and token characters below 0x20 make the
+        # (word_a, word_b) tuple order an unsafe proxy
+        codes, uniques = pd.factorize(words)
+        nv = np.int64(len(uniques))
+        pair = codes[:-1][same_doc].astype(np.int64) * nv \
+            + codes[1:][same_doc]
+        d = wdoc[:-1][same_doc]
+        if len(pair):
+            bc = pd.DataFrame({"d": d, "p": pair}) \
+                .groupby(["d", "p"], sort=False).size().reset_index(name="c")
+            mx = bc.groupby("d", sort=False)["c"].transform("max")
+            cand = bc[bc["c"] == mx]
+            uw = np.asarray(uniques, dtype=object)
+            p = cand["p"].to_numpy(np.int64)
+            cand = pd.DataFrame({
+                "d": cand["d"].to_numpy(np.int64),
+                "bg": uw[p // nv] + " " + uw[p % nv],
+                "c": cand["c"].to_numpy(np.int64),
+            }).sort_values(["d", "c", "bg"],
+                           ascending=[True, False, True],
+                           kind="stable").drop_duplicates("d")
+            bidx = cand["d"].to_numpy(np.int64)
+            top_bigram[bidx] = cand["bg"].to_numpy()
+            top_count[bidx] = cand["c"].to_numpy(np.int64)
 
     dup_line_pct = np.floor(100.0 * n_dup / np.maximum(n_lines, 1)) \
         .astype(np.int64)
@@ -1017,9 +1030,19 @@ _BG_BROADCAST_ROWS = 2_000_000  # same budget as the tfidf vocab
 
 
 def _bigram_rows(batch: pa.Table):
-    """(doc_ids, docix, bigram strings) for a documents batch —
-    adjacent-token pairs within each doc, tokenization identical to
-    _tf_batch."""
+    """(doc_ids, docix, unique bigram strings, inverse) for a
+    documents batch — adjacent-token pairs within each doc,
+    tokenization identical to _tf_batch.
+
+    Bigrams come back FACTORIZED (``ubg[pinv]`` reconstructs the
+    per-occurrence strings): words factorize to int codes (hash-based,
+    C speed), adjacent code pairs pack into one int64, and only the
+    UNIQUE pairs ever materialize as strings — string construction is
+    O(unique bigrams), not O(tokens).  Web corpora repeat bigrams
+    heavily, and every consumer either counts occurrences (bincount
+    over ``pinv``) or probes a table (probe the uniques, gather
+    verdicts through ``pinv``), so nothing downstream needs the
+    per-occurrence strings except the explicit join path."""
     import pandas as pd
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     toks = pc.split_pattern_regex(
@@ -1032,11 +1055,16 @@ def _bigram_rows(batch: pa.Table):
     docix = docix[valid]
     words = np.asarray(flat.to_numpy(zero_copy_only=False))[valid]
     if len(words) < 2:
-        return doc_ids, np.empty(0, np.int64), np.empty(0, object)
+        return (doc_ids, np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
     adj = docix[:-1] == docix[1:]
-    bg = (pd.Series(words[:-1][adj]) + " "
-          + pd.Series(words[1:][adj])).to_numpy(dtype=object)
-    return doc_ids, docix[:-1][adj], bg
+    codes, uniq = pd.factorize(words)
+    nv = np.int64(len(uniq))
+    pair = codes[:-1][adj].astype(np.int64) * nv + codes[1:][adj]
+    pinv, upair = pd.factorize(pair)
+    uw = np.asarray(uniq, dtype=object)
+    ubg = uw[upair // nv] + " " + uw[upair % nv]
+    return doc_ids, docix[:-1][adj], ubg, pinv
 
 
 def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
@@ -1059,11 +1087,11 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
                                  columns=["doc_id", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        _, _, bg = _bigram_rows(batch)
-        c = pd.Series(bg).value_counts()
+        _, _, ubg, pinv = _bigram_rows(batch)
+        c = np.bincount(pinv, minlength=len(ubg)).astype(np.int64)
         return pa.table({
-            "bg": pa.array(c.index.to_numpy(dtype=object), pa.string()),
-            "c": pa.array(c.to_numpy(np.int64), pa.int64()),
+            "bg": pa.array(ubg, pa.string()),
+            "c": pa.array(c, pa.int64()),
         })
 
     cnt_tbl = groupby_agg_partitioned(
@@ -1085,13 +1113,14 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
             from ray_script_extract import _tune_malloc
             _tune_malloc()
             bgs, cs = ray.get(handle)
-            doc_ids, dix, bg = _bigram_rows(batch)
+            doc_ids, dix, ubg, pinv = _bigram_rows(batch)
             n_docs = len(doc_ids)
-            if len(bg) and len(bgs):
-                pos = np.minimum(np.searchsorted(bgs, bg), len(bgs) - 1)
-                hit = (bgs[pos] == bg) & (cs[pos] >= min_count)
+            if len(ubg) and len(bgs):
+                pos = np.minimum(np.searchsorted(bgs, ubg), len(bgs) - 1)
+                hit_u = (bgs[pos] == ubg) & (cs[pos] >= min_count)
+                hit = hit_u[pinv]
             else:
-                hit = np.zeros(len(bg), bool)
+                hit = np.zeros(len(pinv), bool)
             return pa.table({
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "n_bigrams": pa.array(
@@ -1108,7 +1137,8 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
 
     # ---- scale path: occurrences join counts by bigram ---------------
     def occurrences(batch: pa.Table) -> pa.Table:
-        doc_ids, dix, bg = _bigram_rows(batch)
+        doc_ids, dix, ubg, pinv = _bigram_rows(batch)
+        bg = ubg[pinv] if len(pinv) else np.empty(0, object)
         return pa.table({
             "doc_id": pa.array(doc_ids[dix] if len(dix) else
                                np.empty(0, np.int64), pa.int64()),
