@@ -98,10 +98,12 @@ def _decode_ppm(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image bytes → (H, W, C) uint8.  PNG, binary PPM and baseline
-    JPEG (T.81 — the payload a PDF ``/DCTDecode`` XObject carries)
-    supported; anything else raises ValueError (the caller decides
-    whether to fall back to a hash feature)."""
+    """Image bytes → (H, W, C) uint8.  PNG, binary PPM, baseline JPEG
+    (T.81 — the payload a PDF ``/DCTDecode`` XObject carries) and
+    single-strip G4 TIFF (the self-describing wrap the PDF front-end
+    stores for ``/CCITTFaxDecode`` XObjects) supported; anything else
+    raises ValueError (the caller decides whether to fall back to a
+    hash feature)."""
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload)
     if payload.startswith(b"P6"):
@@ -109,6 +111,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if payload.startswith(b"\xff\xd8"):
         from .jpegcodec import decode_jpeg
         return decode_jpeg(payload)
+    if payload.startswith(b"II*\x00"):
+        from .faxcodec import decode_tiff_g4
+        return decode_tiff_g4(payload)
     raise ValueError("unsupported image format")
 
 

@@ -181,7 +181,9 @@ def build_pdf(pages: List[Sequence[Tuple]],
 
     # image XObjects: ``images`` is a per-page list of dicts
     # {data: bytes (stored payload, e.g. a JPEG), w, h (pixel dims),
-    #  x, y, dw, dh (placement rect in PDF user space)}
+    #  x, y, dw, dh (placement rect in PDF user space)}; an optional
+    # filter="ccitt" authors a G4 fax XObject (data = raw MMR bytes,
+    # /K -1, 1-bit DeviceGray) instead of the default /DCTDecode
     img_names: List[List[str]] = []
     img_name_to_num: dict = {}
     for p, imgs in enumerate(images or []):
@@ -189,11 +191,20 @@ def build_pdf(pages: List[Sequence[Tuple]],
         for im in imgs:
             name = f"Im{len(img_name_to_num)}"
             payload = im["data"]
-            num = add((f"<< /Type /XObject /Subtype /Image "
-                       f"/Width {im['w']} /Height {im['h']} "
-                       f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-                       f"/Filter /DCTDecode /Length {len(payload)} >>\n"
-                       ).encode() + b"stream\n" + payload
+            if im.get("filter") == "ccitt":
+                head = (f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {im['w']} /Height {im['h']} "
+                        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                        f"/Filter /CCITTFaxDecode "
+                        f"/DecodeParms << /K -1 /Columns {im['w']} "
+                        f"/Rows {im['h']} >> "
+                        f"/Length {len(payload)} >>\n")
+            else:
+                head = (f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {im['w']} /Height {im['h']} "
+                        f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                        f"/Filter /DCTDecode /Length {len(payload)} >>\n")
+            num = add(head.encode() + b"stream\n" + payload
                       + b"\nendstream")
             img_name_to_num[name] = num
             names.append(name)

@@ -23,7 +23,11 @@ Supported subset (matches FIXTURES.md §4):
 * filters: /FlateDecode and /LZWDecode (with PNG predictors 2/10–15
   via /DecodeParms), /ASCIIHexDecode, /ASCII85Decode,
   /RunLengthDecode; /DCTDecode and /JPXDecode pass through (image
-  payloads — never text content);
+  payloads — never text content); /CCITTFaxDecode G4 images (K < 0)
+  are stored wrapped in a minimal single-strip TIFF
+  (``functions/faxcodec.wrap_tiff_g4``) so the content-addressed
+  payload is self-describing and the perceptual pipeline can decode
+  it — the raw MMR bitstream alone carries no dimensions;
 * page tree traversal with /Kids recursion and /MediaBox /Resources
   inheritance (multi-level trees exercised by fixtures);
 * content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
@@ -619,6 +623,41 @@ _GLYPH_NAMES: Dict[str, str] = {
 }
 
 
+def _image_store_payload(doc: "PdfDocument", xo: Stream) -> bytes:
+    """The bytes a content-addressed media store keeps for an image
+    XObject.  DCT/JPX payloads are self-describing and stay as-is;
+    a G4 fax payload (/CCITTFaxDecode with /K < 0, no
+    /EncodedByteAlign) is wrapped in a minimal single-strip TIFF
+    carrying its /Columns × rows, because the raw MMR bitstream alone
+    cannot be decoded later.  Anything unexpected falls back to the
+    raw stored bytes (the byte-hash feature contract downstream)."""
+    try:
+        filt = doc.resolve(xo.dict.get("/Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        filters = [doc.resolve(f) for f in filters]
+        if not filters or filters[-1] != "/CCITTFaxDecode":
+            return xo.data
+        parms = doc.resolve(xo.dict.get("/DecodeParms")) \
+            or doc.resolve(xo.dict.get("/DP"))
+        if isinstance(parms, list):
+            parms = doc.resolve(parms[-1]) if parms else None
+        parms = parms if isinstance(parms, dict) else {}
+        k = int(doc.resolve(parms.get("/K")) or 0)
+        align = bool(doc.resolve(parms.get("/EncodedByteAlign")) or False)
+        if k >= 0 or align:
+            return xo.data       # G3 / byte-aligned: keep raw bytes
+        columns = int(doc.resolve(parms.get("/Columns")) or 1728)
+        rows = int(doc.resolve(parms.get("/Rows"))
+                   or doc.resolve(xo.dict.get("/Height")) or 0)
+        if columns <= 0 or rows <= 0:
+            return xo.data
+        from ..functions.faxcodec import wrap_tiff_g4
+
+        return wrap_tiff_g4(doc.stream_data(xo), columns, rows)
+    except Exception:
+        return xo.data
+
+
 def _glyph_to_char(name: str) -> Optional[str]:
     if len(name) == 1 and name.isascii():
         return name
@@ -967,12 +1006,15 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                     # interleaved-document model carries images as
                     # (kind="image", media_ref) — ref is the sha256 of
                     # the stored payload (DCT/JPX stay encoded, which
-                    # is exactly what a media store would keep), dims
-                    # from the image dict, placement from the CTM
+                    # is exactly what a media store would keep; G4 fax
+                    # images are stored as their minimal TIFF wrap so
+                    # the payload is decodable without the PDF dict),
+                    # dims from the image dict, placement from the CTM
                     # (images paint the unit square scaled by cm)
                     import hashlib as _hl
 
-                    digest = _hl.sha256(xo.data).hexdigest()
+                    digest = _hl.sha256(
+                        _image_store_payload(doc, xo)).hexdigest()
                     media.append({
                         "ref": f"img://sha256/{digest}",
                         "width": int(doc.resolve(xo.dict.get("/Width"))
