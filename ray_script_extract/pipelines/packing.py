@@ -59,8 +59,13 @@ def _token_counts(sf_dir: str):
 def pack_context_windows(sf_dir: str, window: int = _WINDOW):
     """``(doc_id, n_tokens, bin_first, bin_last)``: the first and last
     context window (0-based, ``window`` tokens each) the doc occupies
-    in the doc_id-ordered concatenated token stream."""
-    return pack_token_stream(_token_counts(sf_dir), window)
+    in the doc_id-ordered concatenated token stream.
+
+    The 3-int token-count projection is materialized once so the
+    two-pass scan below doesn't re-read + re-tokenize the full text
+    column for pass 2 (24 B/doc in the object store vs a second
+    regex pass over every byte of the corpus)."""
+    return pack_token_stream(_token_counts(sf_dir).materialize(), window)
 
 
 def pack_token_stream(tokens: "ray.data.Dataset", window: int = _WINDOW,
