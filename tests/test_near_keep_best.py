@@ -75,3 +75,10 @@ def test_near_keep_best_matches_oracle(tmp_path):
     # exactly one keep per component, across all rows
     kdf = got.groupby("component")["keep"].sum()
     assert (kdf == 1).all()
+
+    # the over-budget partitioned-join twin is bit-identical to the
+    # broadcast plan (same decision table, different physical plan)
+    twin = dedup_near_keep_best(sf_dir, force_join=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got[list(twin.columns)].values.tolist() \
+        == twin.values.tolist()
