@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -318,9 +319,21 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
             "doc_id": pa.array(np.tile(doc_ids, _N_BANDS), pa.int64()),
         })
 
+    # Fan the signature stage out to the cluster: the md5-of-unique-
+    # shingles kernel amortizes within a batch, but a batch size that
+    # leaves cores idle costs more than the cross-task re-hashing it
+    # saves (measured: 512 → 10.2 s cold vs 96–160 → ~4.0 s at sf0.1
+    # on 32 cpus).  Target ~2 batches per reduce slot, floor 64 (the
+    # amortization knee), cap 512 (at 100 TB every slot is saturated
+    # at any batch size — the cap keeps the per-task unique-hash
+    # amortization that scale wants).  The row count comes from the
+    # parquet FOOTER on the driver — no Ray tasks, no scan.
+    from .joins import default_partitions
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    sig_bs = max(64, min(512, -(-n_docs // (default_partitions() * 2))))
     sigs = (_read_docs(sf_dir)
             .map_batches(signatures, batch_format="pyarrow",
-                         batch_size=512, zero_copy_batch=True)
+                         batch_size=sig_bs, zero_copy_batch=True)
             .materialize())  # computed once, consumed by bands + 2 joins
 
     min_matches = int(threshold * _N_PERMS)
