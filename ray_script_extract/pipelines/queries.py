@@ -1999,6 +1999,7 @@ from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     LANGID_SQL,
     REPETITION_SQL,
+    SCRUB_PASSAGES_SQL,
     SHARED_PASSAGES_SQL,
     TFIDF_SQL,
     WINNOW_SQL,
@@ -2008,11 +2009,13 @@ from .text_analysis import (  # noqa: E402
     doc_repetition_signals,
     doc_winnow_fingerprints,
     langid_ngram,
+    scrub_repeated_passages,
     shared_passages,
     tfidf_top_terms,
 )
 
 QUERIES: Dict[str, Callable] = {
+    "scrub_repeated_passages": scrub_repeated_passages,
     "q1_pricing_summary": q1_pricing_summary,
     "q1_rollup": q1_rollup,
     "q3_top_orders": q3_top_orders,
@@ -2190,6 +2193,7 @@ ORACLE_SQL: Dict[str, str] = {
     "bm25_search": BM25_SQL,
     "doc_bigram_coverage": BIGRAM_COVERAGE_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
+    "scrub_repeated_passages": SCRUB_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
     # extraction-dependent) → rows-only checks
 }

@@ -860,6 +860,203 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Substring-level dedup: scrub repeated passages
+# ---------------------------------------------------------------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL 2022) removes VERBATIM repeated substrings from the
+# corpus rather than whole near-dup documents.  Their exact tool is a
+# monolithic suffix array; the distributed re-expression here rides
+# the winnowing fingerprints (SIGMOD'03) the repo already computes:
+# inside a long verbatim repeat every k-gram matches, the w-window
+# winnow picks the same interior positions in every copy, and selected
+# positions are at most w apart — with w < k the selected k-gram
+# ranges CHAIN, so a repeated passage is covered contiguously (modulo
+# ~k+w chars of edge slack).  Scrubbing the duplicated fingerprints'
+# k-grams therefore excises the passage body while a one-off phrase
+# (a single short island) is protected by the minimum island length.
+#
+# Semantics (replicated verbatim in SCRUB_PASSAGES_SQL):
+#   * fingerprint occurrences = the exact WINNOW_SQL rows;
+#   * for every fp value, the globally FIRST occurrence (min
+#     (doc_id, pos)) is canonical and kept; every later occurrence —
+#     in another doc or the same doc — is a victim;
+#   * victim ranges [pos, pos + k - 1] (1-based, inclusive) merge
+#     when they overlap or touch (next.s <= prev.e + 1) into islands;
+#   * only islands of >= min_scrub chars are excised;
+#   * output per document: n_scrubbed_ranges, n_scrubbed_chars and
+#     the excised clean_text (docs without islands pass through).
+
+_SCRUB_MIN_LEN = 24
+
+
+def scrub_repeated_passages(sf_dir: str, min_scrub: int = _SCRUB_MIN_LEN):
+    """Remove verbatim repeated passages, keeping the globally-first
+    occurrence: (doc_id, n_scrubbed_ranges, n_scrubbed_chars,
+    clean_text).
+
+    Scale shape — TWO keyed exchanges, document text moving exactly
+    once: (1) fingerprint rows exchange on fp, each group drops its
+    first occurrence (victims are (doc_id, pos) int pairs —
+    O(duplicated fingerprints), not O(corpus)); (2) documents
+    LEFT-join the victim rows on doc_id, and the island merge +
+    min-length filter + excision all run fused in the join task
+    (victims of a doc co-locate with the doc there by construction,
+    so a separate island-merge exchange would be pure overhead)."""
+    import pandas as pd
+
+    from .joins import hash_join_via_groupby, hash_partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def doc_fps(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_doc, out_pos, out_fp = [], [], []
+        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
+            fps = _winnow_doc(text)
+            out_doc.append(np.full(len(fps), did, np.int64))
+            out_pos.append(fps[:, 0])
+            out_fp.append(fps[:, 1])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], np.int64))
+        return pa.table({
+            "doc_id": pa.array(cat(out_doc), pa.int64()),
+            "pos": pa.array(cat(out_pos), pa.int64()),
+            "fp": pa.array(cat(out_fp), pa.int64()),
+        })
+
+    occurrences = ds.map_batches(doc_fps, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def victims(df: pd.DataFrame) -> pd.DataFrame:
+        # all of an fp's occurrences co-locate; the global first is
+        # the partition-local first
+        df = df.sort_values(["fp", "doc_id", "pos"], kind="stable")
+        dup = df[df["fp"].duplicated(keep="first")]
+        return pd.DataFrame({
+            "doc_id": dup["doc_id"].to_numpy(np.int64),
+            "pos": dup["pos"].to_numpy(np.int64),
+        })
+
+    victim_rows = hash_partitioned_map(occurrences, ["fp"], victims)
+
+    def excise(df: pd.DataFrame) -> pd.DataFrame:
+        out_id: "list[int]" = []
+        out_nr: "list[int]" = []
+        out_nc: "list[int]" = []
+        out_txt: "list[str]" = []
+        miss = df["pos"].isna()
+        for did, text in zip(df.loc[miss, "doc_id"], df.loc[miss, "text"]):
+            out_id.append(int(did))
+            out_nr.append(0)
+            out_nc.append(0)
+            out_txt.append(text)
+        hit = df[~miss]
+        for did, g in hit.groupby("doc_id", sort=False):
+            text = g["text"].iloc[0]
+            s = np.sort(g["pos"].to_numpy(np.int64))
+            e = s + _WINNOW_K - 1
+            # equal-length sorted ranges: previous end is e[i-1]
+            new = np.r_[True, s[1:] > e[:-1] + 1]
+            starts = s[new]
+            ends = np.maximum.reduceat(e, np.flatnonzero(new))
+            keep = ends - starts + 1 >= min_scrub
+            starts, ends = starts[keep], ends[keep]
+            out_id.append(int(did))
+            out_nr.append(len(starts))
+            out_nc.append(int((ends - starts + 1).sum()))
+            parts, prev = [], 0           # prev = 0-based segment start
+            for a, b in zip(starts, ends):  # 1-based inclusive bounds
+                parts.append(text[prev:a - 1])
+                prev = b
+            parts.append(text[prev:])
+            out_txt.append("".join(parts))
+        return pd.DataFrame({
+            "doc_id": np.asarray(out_id, np.int64),
+            "n_scrubbed_ranges": np.asarray(out_nr, np.int64),
+            "n_scrubbed_chars": np.asarray(out_nc, np.int64),
+            "clean_text": out_txt,
+        })
+
+    docs_schema = pa.schema([("doc_id", pa.int64()),
+                             ("text", pa.string())])
+    victims_schema = pa.schema([("doc_id", pa.int64()),
+                                ("pos", pa.int64())])
+    out = hash_join_via_groupby(ds, victim_rows, "doc_id", "doc_id",
+                                how="left", post=excise,
+                                left_schema=docs_schema,
+                                right_schema=victims_schema)
+    return out.sort("doc_id")
+
+
+SCRUB_PASSAGES_SQL = f"""
+WITH fps AS (
+{WINNOW_SQL.replace("ORDER BY doc_id, pos", "")}
+),
+vict AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY fp
+                              ORDER BY doc_id, pos) AS rn
+    FROM fps) WHERE rn > 1
+),
+rng AS (
+  SELECT DISTINCT doc_id, pos AS s, pos + {_WINNOW_K - 1} AS e FROM vict
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN LAG(e) OVER w IS NULL
+                OR s > LAG(e) OVER w + 1 THEN 1 ELSE 0 END AS brk
+  FROM rng
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM grp GROUP BY doc_id, island
+  HAVING MAX(e) - MIN(s) + 1 >= {_SCRUB_MIN_LEN}
+),
+seg AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+         s - 1 AS ke
+  FROM isl
+  UNION ALL
+  SELECT i.doc_id, MAX(i.e) + 1 AS ks, MAX(length(d.text)) AS ke
+  FROM isl i JOIN documents d ON d.doc_id = i.doc_id
+  GROUP BY i.doc_id
+),
+clean AS (
+  SELECT s.doc_id,
+         COALESCE(string_agg(
+           CASE WHEN s.ke >= s.ks
+                THEN substring(d.text, CAST(s.ks AS INT),
+                               CAST(s.ke - s.ks + 1 AS INT))
+                ELSE '' END, '' ORDER BY s.ks), '') AS clean_text
+  FROM seg s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scrubbed_ranges,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_scrubbed_chars
+  FROM isl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(st.n_scrubbed_ranges, 0) AS n_scrubbed_ranges,
+       COALESCE(st.n_scrubbed_chars, 0) AS n_scrubbed_chars,
+       COALESCE(c.clean_text, d.text) AS clean_text
+FROM documents d
+LEFT JOIN stats st ON st.doc_id = d.doc_id
+LEFT JOIN clean c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword search (integer-quantized rational BM25)
 # ---------------------------------------------------------------------------
 # Classic BM25 needs ln() in the idf, which no two engines compute
