@@ -95,6 +95,17 @@ def main() -> None:
 
     bench_queries = [k for k in QUERIES if k not in BENCH_OMIT]
 
+    # The minhash pair table is a derive-once-per-snapshot artifact
+    # (dedup.get_minhash_pairs session share — same discipline as the
+    # extract-once flagship seam).  Registry order puts the policy
+    # consumers (dedup_components / dedup_near_keep_best) before the
+    # producer, so they would pay the one-time derivation on THEIR
+    # lines; run the producer first so the derivation cost lands on
+    # dedup_minhash_lsh where it belongs.
+    if "dedup_minhash_lsh" in bench_queries:
+        bench_queries.remove("dedup_minhash_lsh")
+        bench_queries.insert(0, "dedup_minhash_lsh")
+
     timings: dict[str, float] = {}
 
     # Warm the worker pool before the clock starts: 32 worker-process
