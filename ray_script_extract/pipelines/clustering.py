@@ -143,17 +143,13 @@ def _lloyd_pass(norm_ds: "ray.data.Dataset", centroids: np.ndarray,
     return new, float(parts["inertia"].sum()), int(parts["n"].sum())
 
 
-def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
-                       n_iter: int = 5, return_stats: bool = False,
-                       force_shuffle_combine: bool = False):
-    """Full-dataset spherical k-means: seed on the bounded sample
-    (``kmeans_fit``), refine with ``n_iter`` distributed Lloyd passes,
-    then one final streaming pass emits the ``(vec_id, cluster)``
-    assignment DATASET sorted by vec_id (never collected — at 10^12
-    rows the assignment table is itself big data; consume it with
-    write_parquet or a downstream stage).  ``return_stats=True``
-    additionally returns the inertia trajectory and final centroids
-    (n_iter floats + k×dim — driver-bounded metadata)."""
+def _fit_centroids(sf_dir: str, n_clusters: int, n_iter: int,
+                   force_shuffle_combine: bool = False):
+    """Shared fit loop: seed on the bounded driver sample, refine with
+    ``n_iter`` distributed Lloyd passes.  Returns ``(norm_ds,
+    centroids, trajectory)`` — the materialized normalized dataset is
+    handed back so callers reuse its object-store blocks for their own
+    final pass instead of re-reading parquet."""
     import pyarrow.parquet as pq
 
     sample = _sample_matrix(sf_dir)
@@ -175,6 +171,22 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
         centroids, inertia, _ = _lloyd_pass(norm_ds, centroids,
                                             driver_combine)
         trajectory.append(inertia)
+    return norm_ds, centroids, trajectory
+
+
+def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
+                       n_iter: int = 5, return_stats: bool = False,
+                       force_shuffle_combine: bool = False):
+    """Full-dataset spherical k-means: seed on the bounded sample
+    (``kmeans_fit``), refine with ``n_iter`` distributed Lloyd passes,
+    then one final streaming pass emits the ``(vec_id, cluster)``
+    assignment DATASET sorted by vec_id (never collected — at 10^12
+    rows the assignment table is itself big data; consume it with
+    write_parquet or a downstream stage).  ``return_stats=True``
+    additionally returns the inertia trajectory and final centroids
+    (n_iter floats + k×dim — driver-bounded metadata)."""
+    norm_ds, centroids, trajectory = _fit_centroids(
+        sf_dir, n_clusters, n_iter, force_shuffle_combine)
 
     bc = ray.put(centroids)
 
@@ -194,3 +206,106 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
     if return_stats:
         return out, trajectory, centroids
     return out
+
+
+def _max_prior_sim(m: np.ndarray, budget_elems: int = 32_000_000
+                   ) -> np.ndarray:
+    """For row-ordered unit vectors ``m`` (n×d), return per row i the
+    max cosine to any EARLIER row (j < i); row 0 gets -inf (no prior).
+
+    Column-chunked so the live sim slab never exceeds ``budget_elems``
+    floats (~256 MB at the default): each block computes
+    ``m[:b] @ m[a:b].T`` — only rows below the block's last column are
+    ever needed — then masks j >= i before the column max.  Chunking
+    splits output columns only, never the reduction axis, so results
+    are bit-identical to the one-shot ``m @ m.T``."""
+    n = m.shape[0]
+    out = np.full(n, -np.inf)
+    if n <= 1:
+        return out
+    blk = max(1, budget_elems // n)
+    for a in range(1, n, blk):
+        b = min(n, a + blk)
+        s = m[:b] @ m[a:b].T                      # (b, b-a)
+        mask = np.arange(b)[:, None] >= np.arange(a, b)[None, :]
+        s[mask] = -np.inf
+        out[a:b] = s.max(axis=0)
+    return out
+
+
+def dedup_semantic(sf_dir: str, n_clusters: int = 16, eps: float = 0.6,
+                   n_iter: int = 3, force_shuffle_combine: bool = False):
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): spherical-k-means-cluster the embedding table,
+    then inside each cluster mark as duplicates all points whose
+    cosine to a KEPT earlier point exceeds ``1 - eps``, preferring to
+    keep the point FARTHEST from its centroid (the paper's
+    low-centroid-similarity representative; ties broken by vec_id).
+    The default ``eps=0.6`` (cosine threshold 0.4) matches the τ=0.4
+    convention of the near_dup_embeddings family on this synthetic
+    corpus; real text embeddings want a much tighter eps (paper: 0.05
+    region).
+    Returns ``(vec_id, cluster, keep, max_prior_sim)`` sorted by
+    vec_id — a policy table a curation pass joins against, same seam
+    as ``dedup_near_keep_best``.
+
+    Scale shape: the fit is the bounded Lloyd loop (centroids
+    broadcast, k-row partials back); the prune is ONE exchange keyed
+    on cluster id, inside which each cluster's (c×d) slab is pruned
+    with a column-chunked matmul (``_max_prior_sim``, ≤256 MB live).
+    Within-cluster cost is O(Σ c_i²·d) — the SemDeDup contract is
+    that k scales with N so c_i stays bounded (paper: N/k ≈ const);
+    only d·8 bytes per row move through the exchange, never text.
+
+    No reference counterpart (`/root/reference` is a one-document
+    converter); extends the training-data curation family."""
+    from .joins import hash_partitioned_map
+
+    norm_ds, centroids, _ = _fit_centroids(
+        sf_dir, n_clusters, n_iter, force_shuffle_combine)
+    bc = ray.put(centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        cents = ray.get(bc)
+        m = _unpack(batch)
+        sims = m @ cents.T
+        cl = sims.argmax(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            "cent_sim": pa.array(sims[np.arange(len(m)), cl],
+                                 pa.float64()),
+            "nemb": pa.array([r.tobytes() for r in m], pa.binary()),
+        })
+
+    tagged = norm_ds.map_batches(tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    thresh = 1.0 - eps
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        outs = []
+        for _, g in df.groupby("cluster", sort=True):
+            g = g.sort_values(["cent_sim", "vec_id"], kind="stable")
+            m = np.frombuffer(b"".join(g["nemb"]),
+                              np.float64).reshape(len(g), -1)
+            prior = _max_prior_sim(m)
+            # row 0 has no prior (−inf) so it is always kept, even at
+            # eps ≥ 2 where thresh ≤ −1 would reject a −1.0 sentinel
+            outs.append(pd.DataFrame({
+                "vec_id": g["vec_id"].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": prior < thresh,
+                "max_prior_sim": np.where(np.isfinite(prior),
+                                          prior, -1.0),
+            }))
+        return pd.concat(outs) if outs else pd.DataFrame({
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cluster": pd.Series([], dtype=np.int64),
+            "keep": pd.Series([], dtype=bool),
+            "max_prior_sim": pd.Series([], dtype=np.float64)})
+
+    return hash_partitioned_map(tagged, ["cluster"], prune).sort("vec_id")

@@ -2124,7 +2124,7 @@ QUERIES["approx_distinct_tokens"] = approx_distinct_tokens
 QUERIES["event_value_percentiles_sketch"] = event_value_percentiles_sketch
 QUERIES["count_min_words"] = count_min_words
 
-from .clustering import cluster_embeddings  # noqa: E402
+from .clustering import cluster_embeddings, dedup_semantic  # noqa: E402
 from .multimodal import (  # noqa: E402
     near_dup_audio,
     near_dup_images,
@@ -2132,6 +2132,7 @@ from .multimodal import (  # noqa: E402
 )
 
 QUERIES["cluster_embeddings"] = cluster_embeddings
+QUERIES["dedup_semantic"] = dedup_semantic
 QUERIES["near_dup_images"] = near_dup_images
 QUERIES["near_dup_audio"] = near_dup_audio
 QUERIES["near_dup_videos"] = near_dup_videos
