@@ -64,49 +64,78 @@ def _unpack(batch: pa.Table) -> "np.ndarray":
     return flat.to_numpy(zero_copy_only=False).reshape(len(batch), -1)
 
 
-def _lloyd_pass(norm_ds: "ray.data.Dataset", centroids: np.ndarray,
+_PARTIAL_SCHEMA = pa.schema([
+    ("cluster", pa.int64()), ("batch_ord", pa.int64()),
+    ("vec_sum", pa.binary()), ("n", pa.int64()),
+    ("inertia", pa.float64()),
+])
+
+
+def _block_partial(batch: pa.Table, cents: np.ndarray) -> pa.Table:
+    """Per-block Lloyd partial: ≤ k rows of (cluster, batch_ord,
+    packed f8 vector sum, count, inertia) regardless of block size.
+    Module-level so the raw task pickles by reference (workers import
+    the package, which runs the malloc tuning)."""
+    if len(batch) == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    m = _unpack(batch)
+    sims = m @ cents.T
+    assign = sims.argmax(axis=1)
+    best = sims[np.arange(len(m)), assign]
+    order = np.argsort(assign, kind="stable")
+    uniq, starts = np.unique(assign[order], return_index=True)
+    sums = np.add.reduceat(m[order], starts, axis=0)
+    counts = np.diff(np.append(starts, len(m)))
+    inertia = np.zeros(len(uniq))
+    np.add.at(inertia, np.searchsorted(uniq, assign), 1.0 - best)
+    return pa.table({
+        "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+        "batch_ord": pa.array(
+            np.full(len(uniq), ids.min(), np.int64), pa.int64()),
+        "vec_sum": pa.array(
+            [s.tobytes() for s in sums], pa.binary()),
+        "n": pa.array(counts.astype(np.int64), pa.int64()),
+        "inertia": pa.array(inertia, pa.float64()),
+    })
+
+
+_block_partial_task = ray.remote(_block_partial)
+
+
+def _dataset_block_refs(ds: "ray.data.Dataset") -> list:
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _lloyd_pass(block_refs: list, centroids: np.ndarray,
                 driver_combine: bool = False):
     """One distributed Lloyd iteration: returns (new_centroids,
     inertia, n_assigned) — inertia is Σ (1 - cos(x, c(x))) over
     normalized vectors, the spherical-k-means objective.
 
+    Partials are ONE raw task per materialized block (the Dataset is
+    already in the object store; per pass only k centroids go out and
+    ≤ k rows per block come back — re-running a streaming-executor
+    job per iteration paid ~0.4 s fixed per pass for the same work).
+
     ``driver_combine=True`` (chosen ONCE per fit from the parquet
     footer, same budget discipline as ``broadcast_int_lookup``)
-    collects the ≤ k-rows-per-block partials straight to the driver
-    and reduces them there — the per-pass all-to-all barrier is pure
-    overhead while k × num_blocks × dim×8B is a few MB.  Past the
-    budget the hash-partitioned shuffle reduce takes over unchanged.
-    Both paths sort partials by (cluster, batch_ord) before the same
-    reduceat, so they are bit-identical."""
+    reduces the partials straight on the driver — the per-pass
+    all-to-all barrier is pure overhead while k × num_blocks × dim×8B
+    is a few MB.  Past the budget the hash-partitioned shuffle reduce
+    takes over, fed the SAME per-block partial rows.  Both paths sort
+    partials by (cluster, batch_ord) before the same reduceat, so
+    they are bit-identical."""
     from .joins import hash_partitioned_map
 
-    k, dim = centroids.shape
     bc = ray.put(centroids)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import ray_script_extract as _rse
-        _rse._tune_malloc()  # by-value-pickled closure, see package doc
-        cents = ray.get(bc)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        m = _unpack(batch)
-        sims = m @ cents.T
-        assign = sims.argmax(axis=1)
-        best = sims[np.arange(len(m)), assign]
-        order = np.argsort(assign, kind="stable")
-        uniq, starts = np.unique(assign[order], return_index=True)
-        sums = np.add.reduceat(m[order], starts, axis=0)
-        counts = np.diff(np.append(starts, len(m)))
-        inertia = np.zeros(len(uniq))
-        np.add.at(inertia, np.searchsorted(uniq, assign), 1.0 - best)
-        return pa.table({
-            "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
-            "batch_ord": pa.array(
-                np.full(len(uniq), ids.min(), np.int64), pa.int64()),
-            "vec_sum": pa.array(
-                [s.tobytes() for s in sums], pa.binary()),
-            "n": pa.array(counts.astype(np.int64), pa.int64()),
-            "inertia": pa.array(inertia, pa.float64()),
-        })
+    tables = ray.get([_block_partial_task.remote(ref, bc)
+                      for ref in block_refs])
+    tables = [t for t in tables if len(t)] or [
+        _PARTIAL_SCHEMA.empty_table()]
 
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cluster", "batch_ord"], kind="stable")
@@ -122,16 +151,15 @@ def _lloyd_pass(norm_ds: "ray.data.Dataset", centroids: np.ndarray,
             "inertia": np.add.reduceat(df["inertia"].to_numpy(), starts),
         })
 
-    partials = norm_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)
     if driver_combine:
         # ≤ k rows per input block; reduce() itself sorts by
         # (cluster, batch_ord) so the sum order is bit-identical to
         # the per-partition shuffle reduce
-        parts = reduce(partials.to_pandas())
+        parts = reduce(pa.concat_tables(tables).to_pandas())
     else:
         parts = hash_partitioned_map(
-            partials, ["cluster"], reduce).to_pandas()   # ≤ k rows
+            ray.data.from_arrow(tables), ["cluster"],
+            reduce).to_pandas()                          # ≤ k rows
 
     parts = parts.sort_values("cluster")
     new = centroids.copy()
@@ -165,10 +193,11 @@ def _fit_centroids(sf_dir: str, n_clusters: int, n_iter: int,
     driver_combine = n_rows <= 50_000_000 and not force_shuffle_combine
 
     norm_ds = _normalized_ds(sf_dir)
+    block_refs = _dataset_block_refs(norm_ds)
 
     trajectory = []
     for _ in range(n_iter):
-        centroids, inertia, _ = _lloyd_pass(norm_ds, centroids,
+        centroids, inertia, _ = _lloyd_pass(block_refs, centroids,
                                             driver_combine)
         trajectory.append(inertia)
     return norm_ds, centroids, trajectory

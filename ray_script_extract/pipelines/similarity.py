@@ -61,11 +61,23 @@ def _embedding_dim(sf_dir: str) -> int:
 
 def _sample_matrix(sf_dir: str, cap: int = _FIT_SAMPLE_CAP) -> np.ndarray:
     """Bounded sample for the coarse-quantizer fit: the first ``cap``
-    rows stream through Ray; the driver holds ≤ cap vectors no matter
-    the table size (at 10^12 rows this replaces the old full-table
-    driver read, which was the scale-killer)."""
-    head = _read_emb(sf_dir).limit(cap).to_pandas()
-    return np.vstack(head["embedding"].to_numpy()).astype(np.float64)
+    rows in file order, read driver-side with pyarrow's incremental
+    reader — at most cap rows plus one record batch ever leave the
+    file, no matter the table size (same rows a Ray ``limit(cap)``
+    yields, without paying a streaming-executor spin-up for a
+    driver-bounded head read)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    chunks, got = [], 0
+    for rb in f.iter_batches(batch_size=min(cap, 65_536),
+                             columns=["embedding"]):
+        chunks.append(rb)
+        got += len(rb)
+        if got >= cap:
+            break
+    col = pa.Table.from_batches(chunks).slice(0, cap).column("embedding")
+    return np.vstack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
 def kmeans_fit(mat: np.ndarray, n_clusters: int, n_iter: int = 10) -> np.ndarray:
