@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from .joins import sorted_small
 from ray.data.aggregate import Count, Sum
 
 _AND_SPLIT = re.compile(r"(&| AND )", re.IGNORECASE)
@@ -167,12 +169,11 @@ def character_dialog_counts(sf_dir: str, top_k: int = 25, spans=None):
             "n_words": pa.array(words, pa.int64()),
         })
 
-    return (ds.map_batches(per_doc, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(per_doc, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("character")
               .aggregate(Sum("n_speeches", alias_name="n_speeches"),
-                         Sum("n_words", alias_name="n_words"))
-              .sort(["n_speeches", "character"], descending=[True, False])
+                         Sum("n_words", alias_name="n_words")), ["n_speeches", "character"], descending=[True, False])
               .limit(top_k))
 
 
@@ -210,8 +211,8 @@ def scene_stats(sf_dir: str, spans=None):
             "n_action": count("Action"),
         })
 
-    return ds.map_batches(per_doc, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -327,8 +328,7 @@ def scene_analysis(sf_dir: str,
         return pa.table({"metric": pa.array(keys, pa.string()),
                          "value": pa.array(vals, pa.int64())})
 
-    return (ds.map_batches(per_doc, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(per_doc, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("metric")
-              .aggregate(Sum("value", alias_name="total"))
-              .sort("metric"))
+              .aggregate(Sum("value", alias_name="total")), "metric"))

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 from .similarity import _read_emb, kmeans_fit, _sample_matrix
 
 
@@ -228,10 +230,9 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16,
                                 .astype(np.int64), pa.int64()),
         })
 
-    out = (norm_ds
+    out = (sorted_small(norm_ds
            .map_batches(assign, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .sort("vec_id"))
+                        zero_copy_batch=True), "vec_id"))
     if return_stats:
         return out, trajectory, centroids
     return out
@@ -337,4 +338,4 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16, eps: float = 0.6,
             "keep": pd.Series([], dtype=bool),
             "max_prior_sim": pd.Series([], dtype=np.float64)})
 
-    return hash_partitioned_map(tagged, ["cluster"], prune).sort("vec_id")
+    return sorted_small(hash_partitioned_map(tagged, ["cluster"], prune), "vec_id")

@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .joins import sorted_small
+
 from .joins import hash_partitioned_map
 from .text_analysis import _STOP_SQL_LIST, quality_metrics
 
@@ -88,8 +90,8 @@ def sample_stratified(sf_dir: str, key: str = "lang",
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return hash_partitioned_map(tagged, [key], per_partition) \
-        .sort([key, "doc_id"])
+    return sorted_small(hash_partitioned_map(tagged, [key], per_partition),
+                        [key, "doc_id"])
 
 
 SAMPLE_STRATIFIED_SQL = f"""
@@ -152,8 +154,7 @@ def sample_token_budget(sf_dir: str, budget: int = _TOKEN_BUDGET):
 
     tagged = ds.map_batches(project, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return hash_partitioned_map(tagged, ["lang"], take_prefix) \
-        .sort(["lang", "doc_id"])
+    return sorted_small(hash_partitioned_map(tagged, ["lang"], take_prefix), ["lang", "doc_id"])
 
 
 SAMPLE_TOKEN_BUDGET_SQL = f"""
@@ -225,7 +226,7 @@ def dedup_exact_keep_best(sf_dir: str):
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return hash_partitioned_map(tagged, ["fp"], per_partition).sort("doc_id")
+    return sorted_small(hash_partitioned_map(tagged, ["fp"], per_partition), "doc_id")
 
 
 DEDUP_KEEP_BEST_SQL = """
@@ -432,8 +433,8 @@ def split_train_val_test(sf_dir: str):
                          "split": pa.array(split.astype(object),
                                            pa.string())})
 
-    return ds.map_batches(assign, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 SPLIT_SQL = f"""
@@ -498,8 +499,7 @@ def shuffle_shards(sf_dir: str, seed: int = _SHUFFLE_SEED,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return hash_partitioned_map(tagged, ["shard"], per_partition) \
-        .sort("doc_id")
+    return sorted_small(hash_partitioned_map(tagged, ["shard"], per_partition), "doc_id")
 
 
 SHUFFLE_SHARDS_SQL = f"""

@@ -42,6 +42,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 from .dedup import _P31, _SHINGLE_HASH_CACHE, _doc_shingles, _hash_unique
 
 # doc_id % _BENCH_MOD == 0 → benchmark member.  A deterministic,
@@ -180,8 +182,8 @@ def _decontam_partitioned(sf_dir: str, k: int = 3):
         return counts
 
     partial = hash_partitioned_map(both, ["h"], member)
-    return groupby_agg_partitioned(
-        partial, ["doc_id"], {"n_hits": "sum"}).sort("doc_id")
+    return sorted_small(groupby_agg_partitioned(
+        partial, ["doc_id"], {"n_hits": "sum"}), "doc_id")
 
 
 def decontaminate_ngrams(sf_dir: str, k: int = 3,
@@ -232,8 +234,8 @@ def decontaminate_ngrams(sf_dir: str, k: int = 3,
             "n_hits": pa.array(n_hits[contaminated], pa.int64()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 DECONTAM_SQL = """
@@ -390,5 +392,5 @@ def decontaminate_bloom(sf_dir: str, k: int = 3,
             "n_flagged": pa.array(n[nz], pa.int64()),
         })
 
-    return ds.map_batches(probe, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")

@@ -43,6 +43,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 _P31 = (1 << 31) - 1  # Mersenne 2^31-1: a*h+b stays under 2^62 (int64-safe)
 _N_PERMS = 64
 _N_BANDS = 16  # 4 perms per band
@@ -361,7 +363,7 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.5):
                                    sig_t, PAIRS_SCHEMA, dedupe_left=True)
     out, _ = _join_back(with_a, sigs, "id_b", "sig", "sig_b",
                         sig_t, wa_schema, post=verify)
-    res = out.sort(["id_a", "id_b"])
+    res = sorted_small(out, ["id_a", "id_b"])
     if threshold == 0.5:
         # default-parameter pair table: materialize (it is tiny — the
         # verified near-dup subset) and register for the policy family
@@ -560,13 +562,12 @@ def hamming_pairs_64(band_rows: "ray.data.Dataset",
     pairs = exchange_map_partitions(
         band_rows.map_batches(_add_part, batch_format="pandas"),
         "__part", default_partitions(), pairs_tbl)
-    return (groupby_agg_partitioned(pairs, ["id_a", "id_b"],
+    return (sorted_small(groupby_agg_partitioned(pairs, ["id_a", "id_b"],
                                     {"hamming": "min"})
             .map_batches(lambda b: b.filter(
                 pc.less_equal(b.column("hamming"), max_hamming))
                 .select(["id_a", "id_b", "hamming"]),
-                batch_format="pyarrow")
-            .sort(["id_a", "id_b"]))
+                batch_format="pyarrow"), ["id_a", "id_b"]))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -775,7 +776,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold_pct: int = 60,
     out = ray.data.from_arrow_refs(result_refs)
     # cross-block tasks may emit a pair from only one orientation, but
     # (i,j) blocks are visited once each so pairs are already unique
-    return out.sort(["id_a", "id_b"])
+    return sorted_small(out, ["id_a", "id_b"])
 
 
 # range bound derives from each row's own length (unnest(range(...)))
@@ -971,8 +972,7 @@ def dedup_components(sf_dir: str, pair_source=None, max_iters: int = 30,
             .transform("size").astype(np.int64)
         return out
 
-    return hash_partitioned_map(labels, ["label"], with_sizes) \
-        .sort("doc_id")
+    return sorted_small(hash_partitioned_map(labels, ["label"], with_sizes), "doc_id")
 
 
 DEDUP_COMPONENTS_SQL = f"""
@@ -1101,8 +1101,8 @@ def _keep_best_broadcast(comp, docs):
                 pa.int64()),
         })
 
-    return docs.map_batches(emit, batch_format="pyarrow",
-                            zero_copy_batch=True).sort("doc_id")
+    return sorted_small(docs.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True), "doc_id")
 
 
 def _keep_best_join(comp, docs):
@@ -1147,8 +1147,7 @@ def _keep_best_join(comp, docs):
         })
 
     resolved = joined.map_batches(resolve_nulls, batch_format="pyarrow")
-    return hash_partitioned_map(resolved, ["component"], pick_winners) \
-        .sort("doc_id")
+    return sorted_small(hash_partitioned_map(resolved, ["component"], pick_winners), "doc_id")
 
 
 DEDUP_NEAR_KEEP_BEST_SQL = f"""

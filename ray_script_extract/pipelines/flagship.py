@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .joins import sorted_small
+
 from ..schema import SPAN_STRUCT
 from .extract_pipeline import build_extract_pipeline
 
@@ -135,7 +137,6 @@ def extract_corpus_kinds(sf_dir: str, spans=None):
     from ..stages.extract import explode_spans
 
     ds = get_flagship_spans(sf_dir, spans)
-    return (ds.map_batches(explode_spans, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(explode_spans, batch_format="pyarrow",
                            zero_copy_batch=True)
-              .groupby("kind").aggregate(Count(alias_name="n"))
-              .sort("kind"))
+              .groupby("kind").aggregate(Count(alias_name="n")), "kind"))

@@ -160,6 +160,56 @@ def exchange_map_partitions(ds: "ray.data.Dataset", part_col: str,
     return ray.data.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _sorted_small_merge(order, *blocks):
+    import ray_script_extract as _rse
+    _rse._tune_malloc()
+    tbls = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks]
+    t = pa.concat_tables(tbls, promote_options="permissive") \
+        if len(tbls) > 1 else tbls[0]
+    return t.combine_chunks().sort_by(order)
+
+
+def sorted_small(ds: "ray.data.Dataset", by, descending=False,
+                 budget_bytes: int = 256 << 20) -> "ray.data.Dataset":
+    """Deterministic FINAL sort for driver-bounded results.
+
+    Ray 2.49's ``Dataset.sort`` is a full range shuffle — sample
+    boundaries, sort every block, B×B range slices, merge — a ~2-3 s
+    fixed tax per call even on a few thousand rows (same machinery
+    the exchange engine replaced, see module doc).  Nearly every
+    query in the battery ends with a determinism sort over a BOUNDED
+    aggregate, so that tax dominates cheap lines.
+
+    Below ``budget_bytes`` (metadata check on the materialized
+    blocks, no data I/O — the same footer-budget discipline as
+    ``broadcast_int_lookup``) the sort is ONE raw task: concat the
+    blocks, one Arrow ``sort_by``, result re-exposed as a single-block
+    Dataset.  Past the budget the range sort takes over unchanged, so
+    unbounded results keep the scale path.
+
+    ``by``/``descending`` accept the same str|list / bool|list forms
+    as ``Dataset.sort``.
+    """
+    mat = ds.materialize()
+    if (mat.size_bytes() or 0) > budget_bytes:
+        return mat.sort(by, descending=descending)
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    keys = [by] if isinstance(by, str) else list(by)
+    desc = ([descending] * len(keys) if isinstance(descending, bool)
+            else list(descending))
+    order = [(k, "descending" if d else "ascending")
+             for k, d in zip(keys, desc)]
+    return ray.data.from_arrow_refs(
+        [_sorted_small_merge.remote(order, *refs)])
+
+
 def default_partitions() -> int:
     """Reduce width for the keyed-op backbone: ``max(32, cluster
     CPUs)`` so shuffle parallelism follows the cluster instead of

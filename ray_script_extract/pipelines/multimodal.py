@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_ref", pa.string()),
     pa.field("doc_id", pa.string()),
@@ -208,7 +210,7 @@ def media_features(sf_dir: str):
             "feature_dim": dim,
         })
 
-    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+    return sorted_small(out.map_batches(project, batch_format="pyarrow"), "doc_id")
 
 
 class ThumbnailActor:
@@ -256,9 +258,9 @@ def media_thumbnails(sf_dir: str):
     ds = media_refs_from_documents(sf_dir, modalities=("image",)) \
         .map_batches(only_images, batch_format="pyarrow",
                      zero_copy_batch=True)
-    return ds.map_batches(ThumbnailActor, batch_format="pyarrow",
+    return sorted_small(ds.map_batches(ThumbnailActor, batch_format="pyarrow",
                           concurrency=(1, 4), batch_size=64,
-                          zero_copy_batch=True).sort("doc_id")
+                          zero_copy_batch=True), "doc_id")
 
 
 def ahash64(px: "np.ndarray") -> int:

@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .joins import sorted_small
+
 from .joins import hash_partitioned_map
 
 _WINDOW = 512           # tokens per context window
@@ -135,8 +137,7 @@ def pack_token_stream(tokens: "ray.data.Dataset", window: int = _WINDOW,
             [assign(g) for _, g in df.groupby("bucket", sort=True)],
             ignore_index=True)
 
-    return hash_partitioned_map(tokens, ["bucket"], per_partition) \
-        .sort("doc_id")
+    return sorted_small(hash_partitioned_map(tokens, ["bucket"], per_partition), "doc_id")
 
 
 PACK_WINDOWS_SQL = f"""

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .joins import sorted_small
+
 # Applied in this order on BOTH sides (an email's digits must not be
 # half-eaten by the phone pattern, so email runs first).
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -54,8 +56,8 @@ def scrub_pii(sf_dir: str):
             "n_ids": pc.cast(n_ids, pa.int64()),
         })
 
-    return ds.map_batches(scrub, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 SCRUB_PII_SQL = f"""

@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from .joins import sorted_small
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -99,9 +101,8 @@ def q1_pricing_summary(sf_dir: str):
                  Sum("base_cents", alias_name="sum_base_cents"),
                  Sum("disc_cents", alias_name="sum_disc_cents"),
                  Sum("__n", alias_name="count_order"),
-             )
-             .sort(keys))
-    return out
+             ))
+    return sorted_small(out, keys)
 
 
 # Every SUM is wrapped CAST(SUM(...) AS BIGINT): DuckDB returns HUGEINT
@@ -212,7 +213,7 @@ def q3_top_orders(sf_dir: str):
                                ("revenue_cents", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("o_orderpriority", pa.string())]))
-    out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+    out = (sorted_small(joined, ["revenue_cents", "l_orderkey"], descending=[True, False])
                  .limit(10)
                  .map_batches(lambda b: b.select(
                      ["l_orderkey", "o_orderpriority", "revenue_cents"])
@@ -236,7 +237,7 @@ def q3_top_orders_native(sf_dir: str):
                                   {"revenue_cents": "sum"})
     joined = rev.join(orders, join_type="inner", num_partitions=8,
                       on=("l_orderkey",), right_on=("o_orderkey",))
-    out = (joined.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+    out = (sorted_small(joined, ["revenue_cents", "l_orderkey"], descending=[True, False])
                  .limit(10)
                  .map_batches(lambda b: b.select(
                      ["l_orderkey", "o_orderpriority", "revenue_cents"])
@@ -467,10 +468,9 @@ def top_brands_by_revenue(sf_dir: str):
                                ("__n", pa.int64())]),
         right_schema=pa.schema([("p_partkey", pa.int64()),
                                 ("p_brand", pa.string())]))
-    out = (joined.groupby("p_brand")
+    out = (sorted_small(joined.groupby("p_brand")
                  .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
-                            Sum("__n", alias_name="n_items"))
-                 .sort("p_brand"))
+                            Sum("__n", alias_name="n_items")), "p_brand"))
     return out
 
 
@@ -537,10 +537,9 @@ def small_qty_part_revenue(sf_dir: str):
         right_schema=pa.schema([("p_partkey", pa.int64()),
                                 ("p_brand", pa.string())]))
     # ≤ |brands| rows per partition survive — bounded final reduce
-    return (out.groupby("p_brand")
+    return (sorted_small(out.groupby("p_brand")
                .aggregate(Sum("sum_rev_cents", alias_name="sum_rev_cents"),
-                          Sum("n_items", alias_name="n_items"))
-               .sort("p_brand"))
+                          Sum("n_items", alias_name="n_items")), "p_brand"))
 
 
 SMALL_QTY_SQL = """
@@ -658,7 +657,7 @@ def large_orders_customers(sf_dir: str, min_qty: int = _LARGE_ORDER_QTY,
             left_schema=joined_schema,
             right_schema=pa.schema([("c_custkey", pa.int64()),
                                     ("c_name", pa.string())]))
-    return out.sort(["o_total_cents", "o_orderkey"],
+    return sorted_small(out, ["o_total_cents", "o_orderkey"],
                     descending=[True, False]).limit(k)
 
 
@@ -715,10 +714,9 @@ def distinct_part_types(sf_dir: str):
     """Distinct (set op): unique part types with counts — per-block
     partial counts, then a ≤ |types|-row shuffle."""
     ds = _read(sf_dir, "part", ["p_type"])
-    return (ds.map_batches(lambda b: _batch_partial(b, ["p_type"], []),
+    return (sorted_small(ds.map_batches(lambda b: _batch_partial(b, ["p_type"], []),
                            batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("p_type").aggregate(Sum("__n", alias_name="n_parts"))
-              .sort("p_type"))
+              .groupby("p_type").aggregate(Sum("__n", alias_name="n_parts")), "p_type"))
 
 
 DISTINCT_PART_TYPES_SQL = """
@@ -750,9 +748,8 @@ def top_lineitems_by_price(sf_dir: str, k: int = 15):
             t = t.take(pa.array(keep))
         return t
 
-    return (ds.map_batches(cents_topk, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .sort(["price_cents", "l_orderkey", "l_linenumber"],
+    return (sorted_small(ds.map_batches(cents_topk, batch_format="pyarrow",
+                           zero_copy_batch=True), ["price_cents", "l_orderkey", "l_linenumber"],
                     descending=[True, False, False])
               .limit(k))
 
@@ -791,10 +788,9 @@ def union_key_accounts(sf_dir: str):
                   .union(supp.map_batches(tag("supplier", "s_suppkey",
                                               "s_nationkey", "s_acctbal"),
                                           batch_format="pyarrow"))
-    return (unioned.groupby(["role", "nationkey"])
+    return (sorted_small(unioned.groupby(["role", "nationkey"])
                    .aggregate(Sum("__n", alias_name="n_accounts"),
-                              Sum("acctbal_cents", alias_name="total_bal_cents"))
-                   .sort(["role", "nationkey"]))
+                              Sum("acctbal_cents", alias_name="total_bal_cents")), ["role", "nationkey"]))
 
 
 def intersect_repeat_buyers(sf_dir: str):
@@ -826,10 +822,10 @@ def intersect_repeat_buyers(sf_dir: str):
         g = df.groupby("o_custkey", as_index=False).max()
         return g[(g["u"] > 0) & (g["l"] > 0)][["o_custkey"]]
 
-    return hash_partitioned_map(
+    return sorted_small(hash_partitioned_map(
         ds.map_batches(flags_partial, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["o_custkey"], both).sort("o_custkey")
+        ["o_custkey"], both), "o_custkey")
 
 
 INTERSECT_BUYERS_SQL = """
@@ -873,12 +869,11 @@ def orders_above_global_avg(sf_dir: str):
         })
         return _batch_partial(t, ["o_orderpriority"], ["sum_cents"])
 
-    return (ds.map_batches(above_partial, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(above_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("o_orderpriority")
               .aggregate(Sum("__n", alias_name="n_above"),
-                         Sum("sum_cents", alias_name="sum_cents"))
-              .sort("o_orderpriority"))
+                         Sum("sum_cents", alias_name="sum_cents")), "o_orderpriority"))
 
 
 ABOVE_AVG_SQL = """
@@ -958,12 +953,11 @@ def events_by_type(sf_dir: str):
         ds.map_batches(pair_partial, batch_format="pyarrow",
                        zero_copy_batch=True),
         ["event_type", "user_id"], per_partition)
-    return (part.groupby("event_type")
+    return (sorted_small(part.groupby("event_type")
                 .aggregate(Sum("n_events", alias_name="n_events"),
                            Sum("total_value_cents",
                                alias_name="total_value_cents"),
-                           Sum("n_users", alias_name="n_users"))
-                .sort("event_type"))
+                           Sum("n_users", alias_name="n_users")), "event_type"))
 
 
 EVENTS_BY_TYPE_SQL = """
@@ -987,12 +981,11 @@ def daily_event_counts(sf_dir: str):
         # ≤ |days × types| rows per block leave the map stage
         return _batch_partial(t, ["day", "event_type"], ["value_cents"])
 
-    out = (ds.map_batches(add_day_partial, batch_format="pyarrow",
+    out = (sorted_small(ds.map_batches(add_day_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
              .groupby(["day", "event_type"])
              .aggregate(Sum("__n", alias_name="n_events"),
-                        Sum("value_cents", alias_name="total_value_cents"))
-             .sort(["day", "event_type"]))
+                        Sum("value_cents", alias_name="total_value_cents")), ["day", "event_type"]))
     return out
 
 
@@ -1037,7 +1030,7 @@ def events_asof_last_signup(sf_dir: str):
                                .to_numpy().astype(np.int64),
         })
 
-    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("event_id")
+    return sorted_small(hash_partitioned_map(ds, ["user_id"], per_partition), "event_id")
 
 
 EVENTS_ASOF_SQL = """
@@ -1088,8 +1081,7 @@ def event_value_percentiles(sf_dir: str):
             "n_events": n.astype(np.int64),
         })
 
-    return hash_partitioned_map(ds, ["event_type"], per_partition) \
-        .sort("event_type")
+    return sorted_small(hash_partitioned_map(ds, ["event_type"], per_partition), "event_type")
 
 
 EVENT_PERCENTILES_SQL = """
@@ -1149,8 +1141,7 @@ def top_orders_per_priority(sf_dir: str, k: int = 3):
                              zero_copy_batch=True)
                 .map_batches(prune, batch_format="pyarrow",
                              zero_copy_batch=True))
-    return hash_partitioned_map(pruned, ["o_orderpriority"], topk) \
-        .sort(["o_orderpriority", "rnk"])
+    return sorted_small(hash_partitioned_map(pruned, ["o_orderpriority"], topk), ["o_orderpriority", "rnk"])
 
 
 TOP_ORDERS_PER_PRIORITY_SQL = """
@@ -1197,7 +1188,7 @@ def events_rolling_sum3(sf_dir: str):
             "rolling_sum3_cents": rolling.astype(np.int64),
         })
 
-    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("event_id")
+    return sorted_small(hash_partitioned_map(ds, ["user_id"], per_partition), "event_id")
 
 
 EVENTS_ROLLING_SQL = """
@@ -1251,10 +1242,10 @@ def events_user_pivot(sf_dir: str):
         return df.groupby("user_id", as_index=False, sort=False)[
             cols + ["n_events"]].sum()
 
-    return hash_partitioned_map(
+    return sorted_small(hash_partitioned_map(
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["user_id"], per_partition).sort("user_id")
+        ["user_id"], per_partition), "user_id")
 
 
 EVENTS_USER_PIVOT_SQL = """
@@ -1313,8 +1304,7 @@ def events_funnel(sf_dir: str):
             prev = cur
         return out
 
-    return hash_partitioned_map(ds, ["user_id"], per_partition) \
-        .sort("user_id")
+    return sorted_small(hash_partitioned_map(ds, ["user_id"], per_partition), "user_id")
 
 
 EVENTS_FUNNEL_SQL = """
@@ -1414,10 +1404,9 @@ def lapsed_customers(sf_dir: str):
         return g.rename(columns={"seg": "c_mktsegment"})
 
     out = hash_partitioned_map(both, ["key"], anti)
-    return groupby_agg_partitioned(
+    return sorted_small(groupby_agg_partitioned(
         out, ["c_mktsegment"],
-        {"n_customers": "sum", "acctbal_cents": "sum"}) \
-        .sort("c_mktsegment")
+        {"n_customers": "sum", "acctbal_cents": "sum"}), "c_mktsegment")
 
 
 LAPSED_CUSTOMERS_SQL = f"""
@@ -1564,7 +1553,7 @@ def events_orders_range_join(sf_dir: str):
             "revenue_cents": (csum[hi] - csum[lo]).astype(np.int64),
         })
 
-    return hash_partitioned_map(tagged, ["bucket"], probe).sort("event_id")
+    return sorted_small(hash_partitioned_map(tagged, ["bucket"], probe), "event_id")
 
 
 EVENTS_RANGE_JOIN_SQL = """
@@ -1598,14 +1587,13 @@ def events_props_k_stats(sf_dir: str):
             "k": ks,
         })
 
-    return (ds.map_batches(extract_k, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(extract_k, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("event_type")
               .aggregate(Count(alias_name="n_events"),
                          Sum("k", alias_name="sum_k"),
                          Min("k", alias_name="min_k"),
-                         Max("k", alias_name="max_k"))
-              .sort("event_type"))
+                         Max("k", alias_name="max_k")), "event_type"))
 
 
 EVENTS_PROPS_SQL = """
@@ -1641,7 +1629,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
                .agg(n_sessions=("brk", "sum"), n_events=("brk", "count")))
         return g
 
-    return hash_partitioned_map(ds, ["user_id"], per_partition).sort("user_id")
+    return sorted_small(hash_partitioned_map(ds, ["user_id"], per_partition), "user_id")
 
 
 SESSIONIZE_SQL = """
@@ -1672,10 +1660,9 @@ def dedup_exact(sf_dir: str):
     from .joins import groupby_agg_partitioned
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return (groupby_agg_partitioned(ds, ["text"], {"doc_id": "min"})
+    return (sorted_small(groupby_agg_partitioned(ds, ["text"], {"doc_id": "min"})
             .map_batches(lambda b: b.select(["doc_id"]),
-                         batch_format="pyarrow")
-            .sort("doc_id"))
+                         batch_format="pyarrow"), "doc_id"))
 
 
 DEDUP_EXACT_SQL = """
@@ -1706,13 +1693,12 @@ def doc_token_stats(sf_dir: str):
             "chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
 
-    out = (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    out = (sorted_small(ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
              .groupby("lang")
              .aggregate(Count(alias_name="n_docs"),
                         Sum("tokens", alias_name="total_tokens"),
                         Sum("bpe_tokens", alias_name="total_bpe_tokens"),
-                        Sum("chars", alias_name="total_chars"))
-             .sort("lang"))
+                        Sum("chars", alias_name="total_chars")), "lang"))
     return out
 
 
@@ -1763,9 +1749,8 @@ def chunk_documents(sf_dir: str, size: int = _CHUNK_SIZE,
             "end_tok": pa.array(end.astype(np.int64), pa.int64()),
         })
 
-    return ds.map_batches(expand, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-             .sort(["doc_id", "chunk_id"])
+    return sorted_small(ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True), ["doc_id", "chunk_id"])
 
 
 CHUNK_DOCUMENTS_SQL = f"""
@@ -1807,10 +1792,9 @@ def word_frequency(sf_dir: str, k: int = 20):
         flat = flat.filter(pc.not_equal(flat, ""))
         return pa.table({"word": flat})
 
-    out = (ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = (sorted_small(ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
              .groupby("word")
-             .aggregate(Count(alias_name="cnt"))
-             .sort(["cnt", "word"], descending=[True, False])
+             .aggregate(Count(alias_name="cnt")), ["cnt", "word"], descending=[True, False])
              .limit(k))
     return out
 
@@ -1834,7 +1818,7 @@ def doc_fingerprint(sf_dir: str):
                             for t in texts], pa.string()),
         })
 
-    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True), "doc_id")
 
 
 DOC_FINGERPRINT_SQL = """
@@ -1907,8 +1891,7 @@ def knn_cosine(sf_dir: str, n_queries: int = 4, k: int = 5):
                       + 1).astype(np.int64)
         return df
 
-    return hash_partitioned_map(scored, ["query_id"], topk) \
-        .sort(["query_id", "rank"])
+    return sorted_small(hash_partitioned_map(scored, ["query_id"], topk), ["query_id", "rank"])
 
 
 KNN_COSINE_SQL = """
@@ -1959,8 +1942,7 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.4):
             "id_b": pa.array(b[keep], pa.int64()),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True) \
-             .sort(["id_a", "id_b"])
+    return sorted_small(ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True), ["id_a", "id_b"])
 
 
 NEAR_DUP_EMB_SQL = """
@@ -2414,10 +2396,10 @@ def except_urgent_only_buyers(sf_dir: str):
         g = df.groupby("o_custkey", as_index=False).max()
         return g[(g["u"] > 0) & (g["l"] == 0)][["o_custkey"]]
 
-    return hash_partitioned_map(
+    return sorted_small(hash_partitioned_map(
         ds.map_batches(flags_partial, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["o_custkey"], urgent_minus_low).sort("o_custkey")
+        ["o_custkey"], urgent_minus_low), "o_custkey")
 
 
 EXCEPT_BUYERS_SQL = """
@@ -2464,8 +2446,7 @@ def events_user_gaps(sf_dir: str):
                   span_us=("gap", "sum")))
         return g
 
-    return hash_partitioned_map(ds, ["user_id"], per_partition) \
-        .sort("user_id")
+    return sorted_small(hash_partitioned_map(ds, ["user_id"], per_partition), "user_id")
 
 
 EVENTS_USER_GAPS_SQL = """
@@ -2572,8 +2553,8 @@ def filter_length_band(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9):
         return batch.filter(pc.and_(pc.greater_equal(nc, pa.scalar(lo)),
                                     pc.less_equal(nc, pa.scalar(hi))))
 
-    return docs.map_batches(band, batch_format="pyarrow",
-                            zero_copy_batch=True).sort("doc_id")
+    return sorted_small(docs.map_batches(band, batch_format="pyarrow",
+                            zero_copy_batch=True), "doc_id")
 
 
 FILTER_LENGTH_BAND_SQL = """
@@ -2653,7 +2634,7 @@ def customer_urgent_counts(sf_dir: str):
         right_schema=pa.schema([("o_custkey", pa.int64()),
                                 ("cents", pa.int64()),
                                 ("__n", pa.int64())]))
-    return joined.sort("c_custkey")
+    return sorted_small(joined, "c_custkey")
 
 
 CUSTOMER_URGENT_SQL = """
@@ -2759,7 +2740,7 @@ def customer_spend_rank(sf_dir: str, force_shuffle: bool = False):
         return g
 
     ranked = hash_partitioned_map(tagged, ["c_nat"], rank_partition)
-    return ranked.sort(["c_nat", "rnk", "c_custkey"])
+    return sorted_small(ranked, ["c_nat", "rnk", "c_custkey"])
 
 
 CUSTOMER_SPEND_RANK_SQL = """
@@ -2990,12 +2971,11 @@ def hop_event_counts(sf_dir: str, window_days: int = _HOP_WINDOW_DAYS):
         return _batch_partial(t, ["window_start", "event_type"],
                               ["value_cents"])
 
-    return (ds.map_batches(expand_partial, batch_format="pyarrow",
+    return (sorted_small(ds.map_batches(expand_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby(["window_start", "event_type"])
             .aggregate(Sum("__n", alias_name="n_events"),
-                       Sum("value_cents", alias_name="total_value_cents"))
-            .sort(["window_start", "event_type"]))
+                       Sum("value_cents", alias_name="total_value_cents")), ["window_start", "event_type"]))
 
 
 HOP_EVENTS_SQL = f"""

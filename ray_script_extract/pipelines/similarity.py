@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 _FIT_SAMPLE_CAP = 8192  # rows the driver may hold for the k-means fit
 
 
@@ -159,8 +161,7 @@ def knn_cosine_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
                       + 1).astype(np.int64)
         return df[["query_id", "vec_id", "rank"]]
 
-    return hash_partitioned_map(scored, ["query_id"], topk) \
-        .sort(["query_id", "rank"])
+    return sorted_small(hash_partitioned_map(scored, ["query_id"], topk), ["query_id", "rank"])
 
 
 _EMB_SEED = 99
@@ -351,9 +352,9 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
                                         bucket_verify)
         # a pair can verify in several bands (different partitions) —
         # one thin shuffle on the (small) verified set dedupes
-        return hash_partitioned_map(
+        return sorted_small(hash_partitioned_map(
             verified, ["id_a", "id_b"],
-            lambda df: df.drop_duplicates()).sort(["id_a", "id_b"])
+            lambda df: df.drop_duplicates()), ["id_a", "id_b"])
 
     pairs = _bucket_pairs(band_rows)
 
@@ -410,11 +411,10 @@ def near_dup_embeddings_lsh(sf_dir: str, threshold: float = 0.4,
                                    dedupe_left=True,
                                    left_schema=PAIRS_SCHEMA,
                                    right_schema=side_schema("a_"))
-    return hash_join_via_groupby(with_a, side_b, "id_b", "__k",
+    return sorted_small(hash_join_via_groupby(with_a, side_b, "id_b", "__k",
                                  post=verify,
                                  left_schema=wa_schema,
-                                 right_schema=side_schema("b_")) \
-        .sort(["id_a", "id_b"])
+                                 right_schema=side_schema("b_")), ["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -542,5 +542,4 @@ def knn_cosine_sq8(sf_dir: str, n_queries: int = 4, k: int = 5):
                       + 1).astype(np.int64)
         return df[["query_id", "vec_id", "rank"]]
 
-    return hash_partitioned_map(scored, ["query_id"], topk) \
-        .sort(["query_id", "rank"])
+    return sorted_small(hash_partitioned_map(scored, ["query_id"], topk), ["query_id", "rank"])

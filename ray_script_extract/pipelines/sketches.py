@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .joins import sorted_small
+
 # marker row key carrying each batch's decrement; "\x00" can never be
 # produced by the whitespace tokenizer (tokens are \S+ runs).
 _EPS_KEY = "\x00eps"
@@ -206,10 +208,10 @@ def event_value_percentiles_sketch(sf_dir: str, s: int = 1024):
             "n_events": np.rint(totals).astype(np.int64),
         })
 
-    return hash_partitioned_map(
+    return sorted_small(hash_partitioned_map(
         ds.map_batches(summarize, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["event_type"], percentiles).sort("event_type")
+        ["event_type"], percentiles), "event_type")
 
 
 def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
@@ -259,8 +261,7 @@ def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
     # would run a Python row loop over the whole summary)
     eps_total = int(summary.filter(
         expr=f"word == {_EPS_KEY!r}").to_pandas()["eps"].sum())
-    top = (summary.filter(expr=f"word != {_EPS_KEY!r}")
-           .sort(["cnt", "word"], descending=[True, False])
+    top = (sorted_small(summary.filter(expr=f"word != {_EPS_KEY!r}"), ["cnt", "word"], descending=[True, False])
            .limit(k).to_pandas())
     return pd.DataFrame({
         "word": top["word"],
@@ -352,10 +353,10 @@ def count_min_words(sf_dir: str, depth: int = _CM_DEPTH,
             "cell_count": pa.array(mat[rows, cols], pa.int64()),
         })
 
-    return groupby_agg_partitioned(
+    return sorted_small(groupby_agg_partitioned(
         ds.map_batches(cells, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["row", "col"], {"cell_count": "sum"}).sort(["row", "col"])
+        ["row", "col"], {"cell_count": "sum"}), ["row", "col"])
 
 
 def cm_point_estimates(cells_df: "pd.DataFrame", words,

@@ -14,6 +14,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from .joins import sorted_small
 from ray.data.aggregate import Count, Sum
 
 STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
@@ -117,8 +119,8 @@ def langid_ngram(sf_dir: str):
             "pred_lang": pa.array(predict_langs_batch(texts), pa.string()),
         })
 
-    return ds.map_batches(run, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 _PROF_ROWS = ", ".join(
@@ -231,8 +233,8 @@ def doc_quality(sf_dir: str):
             "quality_bucket": pa.array(bucket.tolist(), pa.string()),
         })
 
-    return ds.map_batches(run, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 _STOP_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -321,8 +323,8 @@ def doc_winnow_fingerprints(sf_dir: str):
                            else np.array([], np.int64), pa.int64()),
         })
 
-    return ds.map_batches(run, batch_format="pyarrow",
-                          zero_copy_batch=True).sort(["doc_id", "pos"])
+    return sorted_small(ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True), ["doc_id", "pos"])
 
 
 def _winnow_horner_sql() -> str:
@@ -492,8 +494,8 @@ def doc_repetition_signals(sf_dir: str):
     oracle (REPETITION_SQL)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(_repetition_batch, batch_format="pyarrow",
-                          zero_copy_batch=True).sort("doc_id")
+    return sorted_small(ds.map_batches(_repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True), "doc_id")
 
 
 REPETITION_SQL = """
@@ -683,9 +685,8 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
             out = _topk_frame(pdf, k)
             return pa.Table.from_pandas(out, preserve_index=False)
 
-        return docs.map_batches(score_topk, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-            .sort(["doc_id", "rk"])
+        return sorted_small(docs.map_batches(score_topk, batch_format="pyarrow",
+                                zero_copy_batch=True), ["doc_id", "rk"])
 
     # ---- scale path: partition tf rows AND df rows by term ----------
     tf_tagged = tf_rows.map_batches(
@@ -714,9 +715,8 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K,
 
     scored = hash_partitioned_map(tf_tagged.union(df_tagged), ["term"],
                                   join_score)
-    return hash_partitioned_map(scored, ["doc_id"],
-                                lambda d: _topk_frame(d, k)) \
-        .sort(["doc_id", "rk"])
+    return sorted_small(hash_partitioned_map(scored, ["doc_id"],
+                                lambda d: _topk_frame(d, k)), ["doc_id", "rk"])
 
 
 TFIDF_SQL = f"""
@@ -833,8 +833,8 @@ def shared_passages(sf_dir: str, max_df: int = _PASSAGE_MAX_DF,
             "n_shared": t.column("n"),
         })
 
-    return summed.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True).sort(["id_a", "id_b"])
+    return sorted_small(summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True), ["id_a", "id_b"])
 
 
 SHARED_PASSAGES_SQL = f"""
@@ -986,7 +986,7 @@ def scrub_repeated_passages(sf_dir: str, min_scrub: int = _SCRUB_MIN_LEN):
                                 how="left", post=excise,
                                 left_schema=docs_schema,
                                 right_schema=victims_schema)
-    return out.sort("doc_id")
+    return sorted_small(out, "doc_id")
 
 
 SCRUB_PASSAGES_SQL = f"""
@@ -1177,7 +1177,7 @@ def bm25_search(sf_dir: str, terms=_BM25_TERMS, k: int = _BM25_K):
         postings.map_batches(score, batch_format="pyarrow",
                              zero_copy_batch=True),
         ["doc_id"], per_doc_topk)
-    return scored.sort(["score_q", "doc_id"],
+    return sorted_small(scored, ["score_q", "doc_id"],
                        descending=[True, False]).limit(k)
 
 
@@ -1329,8 +1329,8 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
                     pa.int64()),
             })
 
-        return docs.map_batches(cover, batch_format="pyarrow",
-                                zero_copy_batch=True).sort("doc_id")
+        return sorted_small(docs.map_batches(cover, batch_format="pyarrow",
+                                zero_copy_batch=True), "doc_id")
 
     # ---- scale path: occurrences join counts by bigram ---------------
     def occurrences(batch: pa.Table) -> pa.Table:
@@ -1375,11 +1375,10 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = _BG_MIN_COUNT,
                 np.zeros(len(b), np.int64), pa.int64()),
         }), batch_format="pyarrow", zero_copy_batch=True)
 
-    return hash_partitioned_map(
+    return sorted_small(hash_partitioned_map(
         joined.union(stubs), ["doc_id"],
         lambda d: d.groupby("doc_id", as_index=False)
-                   .agg({"n_bigrams": "sum", "n_covered": "sum"})) \
-        .sort("doc_id")
+                   .agg({"n_bigrams": "sum", "n_covered": "sum"})), "doc_id")
 
 
 BIGRAM_COVERAGE_SQL = f"""

@@ -46,6 +46,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .joins import sorted_small
+
 
 def _read(sf_dir: str, table: str, columns=None, **kw) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
@@ -136,9 +138,8 @@ def q4_order_priority(sf_dir: str):
         return g.rename(columns={"pri": "o_orderpriority"})
 
     out = hash_partitioned_map(both, ["key"], semi)
-    return groupby_agg_partitioned(out, ["o_orderpriority"],
-                                   {"order_count": "sum"}) \
-        .sort("o_orderpriority")
+    return sorted_small(groupby_agg_partitioned(out, ["o_orderpriority"],
+                                   {"order_count": "sum"}), "o_orderpriority")
 
 
 Q4_SQL = f"""
@@ -218,10 +219,9 @@ def q12_priority_by_status(sf_dir: str):
         right_schema=pa.schema([("l_orderkey", pa.int64()),
                                 ("l_linestatus", pa.string()),
                                 ("__n", pa.int64())]))
-    return groupby_agg_partitioned(
+    return sorted_small(groupby_agg_partitioned(
         joined, ["l_linestatus"],
-        {"high_line_count": "sum", "low_line_count": "sum"}) \
-        .sort("l_linestatus")
+        {"high_line_count": "sum", "low_line_count": "sum"}), "l_linestatus")
 
 
 Q12_SQL = f"""
@@ -283,9 +283,8 @@ def q13_order_distribution(sf_dir: str):
         left_schema=pa.schema([("c_custkey", pa.int64())]),
         right_schema=pa.schema([("o_custkey", pa.int64()),
                                 ("__n", pa.int64())]))
-    return groupby_agg_partitioned(joined, ["c_count"],
-                                   {"custdist": "sum"}) \
-        .sort(["custdist", "c_count"], descending=[True, True])
+    return sorted_small(groupby_agg_partitioned(joined, ["c_count"],
+                                   {"custdist": "sum"}), ["custdist", "c_count"], descending=[True, True])
 
 
 Q13_SQL = """
@@ -494,7 +493,7 @@ def q16_supplier_variety(sf_dir: str):
 
     out = hash_partitioned_map(joined, ["p_brand", "p_size"],
                                count_distinct)
-    return out.sort(["supplier_cnt", "p_brand", "p_size"],
+    return sorted_small(out, ["supplier_cnt", "p_brand", "p_size"],
                     descending=[True, False, False])
 
 
@@ -737,10 +736,9 @@ def q22_idle_rich_customers(sf_dir: str):
         return g.rename(columns={"seg": "c_mktsegment"})
 
     out = hash_partitioned_map(both, ["key"], anti)
-    return groupby_agg_partitioned(
+    return sorted_small(groupby_agg_partitioned(
         out, ["c_mktsegment"],
-        {"n_customers": "sum", "acctbal_cents": "sum"}) \
-        .sort("c_mktsegment")
+        {"n_customers": "sum", "acctbal_cents": "sum"}), "c_mktsegment")
 
 
 _Q22_SEG_SQL = ", ".join(f"'{s}'" for s in _Q22_SEGMENTS)
@@ -836,8 +834,8 @@ def q15_top_supplier(sf_dir: str):
             "total_cents": w.column("total_cents"),
         })
 
-    return totals.map_batches(winners, batch_format="pyarrow",
-                              zero_copy_batch=True).sort("s_suppkey")
+    return sorted_small(totals.map_batches(winners, batch_format="pyarrow",
+                              zero_copy_batch=True), "s_suppkey")
 
 
 Q15_SQL = f"""
@@ -992,7 +990,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20,
                 if "o_custkey" in df.columns else df),
             batch_format="pandas")
 
-    return pruned.sort(["revenue_cents", "c_custkey"],
+    return sorted_small(pruned, ["revenue_cents", "c_custkey"],
                        descending=[True, False]).limit(k)
 
 
@@ -1140,9 +1138,9 @@ def q8_market_share(sf_dir: str, force_shuffle: bool = False):
                                    ("total_cents", pa.int64())]),
             right_schema=pa.schema([("o_orderkey", pa.int64()),
                                     ("o_year", pa.int64())]))
-        return groupby_agg_partitioned(
+        return sorted_small(groupby_agg_partitioned(
             j, ["o_year"],
-            {"target_cents": "sum", "total_cents": "sum"}).sort("o_year")
+            {"target_cents": "sum", "total_cents": "sum"}), "o_year")
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_orderkey",
@@ -1281,9 +1279,9 @@ def q8_market_share(sf_dir: str, force_shuffle: bool = False):
         right_schema=pa.schema([("c_custkey", pa.int64()),
                                 ("in_region", pa.int64())]))
 
-    return groupby_agg_partitioned(
+    return sorted_small(groupby_agg_partitioned(
         j4, ["o_year"],
-        {"target_cents": "sum", "total_cents": "sum"}).sort("o_year")
+        {"target_cents": "sum", "total_cents": "sum"}), "o_year")
 
 
 Q8_SQL = f"""
