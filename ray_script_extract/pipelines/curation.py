@@ -175,6 +175,88 @@ ORDER BY lang, doc_id
 """
 
 
+_WEIGHT_SCALE_BP = 100   # basis points of keep-probability per token
+
+
+def sample_quality_weighted(sf_dir: str, scale_bp: int = _WEIGHT_SCALE_BP):
+    """Importance sampling by document quality: keep document d with
+    probability ``w_bp(d) / 10000`` where the integer weight
+
+        w_bp = 0                                   if n_tokens < 5
+             = min(10000, scale_bp · n_tokens) // 2  if boilerplate/jargon
+             = min(10000, scale_bp · n_tokens)       otherwise
+
+    uses the same integer metrics and bucket thresholds as
+    ``doc_quality`` (stop_pct > 40 → boilerplate, long_pct > 50 →
+    jargon).  The Bernoulli draw is the doc_id's deterministic md5
+    rank mod 10000 (``md5_number_lower`` identity, same as
+    ``_rank_hash``), so the sample is reproducible, content-addressed
+    and EXACTLY replicated in SQL — no RNG, no seed state.
+
+    Scale shape: a pure projection over one pruned scan — zero
+    shuffles, zero driver state; the keep decision is local to each
+    row.  This is the quality-proportional counterpart of
+    ``sample_token_budget``'s budget prefix (cf. importance
+    resampling for LM data selection, e.g. DSIR, arXiv:2302.03169).
+
+    Returns kept rows (doc_id, n_tokens, w_bp, draw) sorted by
+    doc_id."""
+    from .text_analysis import quality_metrics
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tokens, n_stop, n_long = quality_metrics(batch.column("text"))
+        denom = np.maximum(n_tokens, 1)
+        flagged = (np.floor(100.0 * n_stop / denom) > 40) \
+            | (np.floor(100.0 * n_long / denom) > 50)
+        w_bp = np.minimum(10_000, scale_bp * n_tokens)
+        w_bp = np.where(flagged, w_bp // 2, w_bp)
+        w_bp = np.where(n_tokens < 5, 0, w_bp).astype(np.int64)
+        draw = (_rank_hash(ids) % np.uint64(10_000)).astype(np.int64)
+        sel = draw < w_bp
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "n_tokens": pa.array(n_tokens[sel], pa.int64()),
+            "w_bp": pa.array(w_bp[sel], pa.int64()),
+            "draw": pa.array(draw[sel], pa.int64()),
+        })
+
+    return sorted_small(ds.map_batches(keep, batch_format="pyarrow",
+                                       zero_copy_batch=True), "doc_id")
+
+
+def _sample_quality_weighted_sql(scale_bp: int = _WEIGHT_SCALE_BP) -> str:
+    from .text_analysis import _STOP_SQL_LIST
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST}))) AS n_stop,
+         len(list_filter(toks, x -> length(x) >= 8)) AS n_long
+  FROM t),
+w AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens < 5 THEN 0
+              ELSE LEAST(10000, {scale_bp} * n_tokens) //
+                CASE WHEN FLOOR(100.0 * n_stop / GREATEST(n_tokens, 1)) > 40
+                       OR FLOOR(100.0 * n_long / GREATEST(n_tokens, 1)) > 50
+                     THEN 2 ELSE 1 END
+         END AS w_bp,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
+              AS BIGINT) AS draw
+  FROM m)
+SELECT doc_id, n_tokens, CAST(w_bp AS BIGINT) AS w_bp, draw
+FROM w WHERE draw < w_bp
+ORDER BY doc_id
+"""
+
+
 _WS_RE = None  # compiled lazily once per worker
 
 

@@ -2062,9 +2062,11 @@ from .curation import (  # noqa: E402
     SAMPLE_TOKEN_BUDGET_SQL,
     SHUFFLE_SHARDS_SQL,
     SPLIT_SQL,
+    _sample_quality_weighted_sql,
     curate_corpus,
     dedup_exact_keep_best,
     prep_training_mix,
+    sample_quality_weighted,
     sample_stratified,
     sample_token_budget,
     shuffle_shards,
@@ -2083,6 +2085,7 @@ QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
+QUERIES["sample_quality_weighted"] = sample_quality_weighted
 QUERIES["sample_stratified"] = sample_stratified
 QUERIES["sample_token_budget"] = sample_token_budget
 QUERIES["prep_training_mix"] = prep_training_mix
@@ -2158,6 +2161,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_simhash": SIMHASH_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
+    "sample_quality_weighted": _sample_quality_weighted_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
     "prep_training_mix": PREP_TRAINING_MIX_SQL,

@@ -207,3 +207,43 @@ def test_export_curated_resumable(tmp_path):
     assert s3["partitions_skipped"] == s3["partitions_total"] - 1
     rec2 = json.load(open(victim))
     assert rec2["checksum"] == rec["checksum"]  # deterministic rewrite
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_quality_weighted(tmp_path):
+    """Keep rule draw < w_bp holds exactly; too_short is never kept;
+    boilerplate/jargon weights are HALF of a clean doc's at the same
+    token count; the oracle matches row-for-row on the crafted
+    corpus (which exercises every bucket)."""
+    import numpy as np
+
+    from ray_script_extract.pipelines.curation import (
+        _rank_hash,
+        _sample_quality_weighted_sql,
+        sample_quality_weighted,
+    )
+
+    sf_dir = _write_corpus(tmp_path)
+    got = sample_quality_weighted(sf_dir).to_pandas()
+
+    assert (got["draw"] < got["w_bp"]).all()
+    # doc 3 is too_short (2 tokens) -> w_bp 0, never sampled
+    assert 3 not in set(got["doc_id"])
+    # draws replicate the md5 rank identity
+    ids = got["doc_id"].to_numpy()
+    assert (got["draw"].to_numpy()
+            == (_rank_hash(ids) % np.uint64(10_000)).astype(np.int64)).all()
+
+    # doc 4 (boilerplate, 15 tokens) carries HALF the weight of a
+    # clean 15-token doc: 1500 // 2
+    full = _oracle(sf_dir, _sample_quality_weighted_sql()
+                   .replace("WHERE draw < w_bp", ""))
+    row4 = full.loc[full["doc_id"] == 4].iloc[0]
+    assert row4["n_tokens"] == 15 and row4["w_bp"] == 750
+
+    oracle = _oracle(sf_dir, _sample_quality_weighted_sql())
+    assert got.astype("int64").values.tolist() == \
+        oracle.astype("int64").values.tolist()
+
+    again = sample_quality_weighted(sf_dir).to_pandas()
+    assert got.values.tolist() == again.values.tolist()
