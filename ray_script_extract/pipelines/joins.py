@@ -167,8 +167,13 @@ def _sorted_small_merge(order, *blocks):
     tbls = [b if isinstance(b, pa.Table)
             else pa.Table.from_pandas(b, preserve_index=False)
             for b in blocks]
-    t = pa.concat_tables(tbls, promote_options="permissive") \
-        if len(tbls) > 1 else tbls[0]
+    # all-empty exchanges can emit zero-column placeholder blocks;
+    # sorting those would raise on the missing key columns
+    nonempty = [t for t in tbls if t.num_columns]
+    if not nonempty:
+        return tbls[0]
+    t = pa.concat_tables(nonempty, promote_options="permissive") \
+        if len(nonempty) > 1 else nonempty[0]
     return t.combine_chunks().sort_by(order)
 
 

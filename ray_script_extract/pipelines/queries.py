@@ -2996,6 +2996,22 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["hop_event_counts"] = hop_event_counts
 ORACLE_SQL["hop_event_counts"] = HOP_EVENTS_SQL
 
+from .tpch_final import (  # noqa: E402
+    Q2_SQL, Q9_SQL, Q11_SQL, Q20_SQL, Q21_SQL, q2_min_cost_supplier,
+    q9_profit_by_nation, q11_important_parts, q20_promotion_suppliers,
+    q21_waiting_suppliers)
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["q9_profit_by_nation"] = q9_profit_by_nation
+QUERIES["q11_important_parts"] = q11_important_parts
+QUERIES["q20_promotion_suppliers"] = q20_promotion_suppliers
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+ORACLE_SQL["q2_min_cost_supplier"] = Q2_SQL
+ORACLE_SQL["q9_profit_by_nation"] = Q9_SQL
+ORACLE_SQL["q11_important_parts"] = Q11_SQL
+ORACLE_SQL["q20_promotion_suppliers"] = Q20_SQL
+ORACLE_SQL["q21_waiting_suppliers"] = Q21_SQL
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness sample
@@ -3033,7 +3049,18 @@ _R03_DRIVER_CHECKED = [
 ]
 assert set(_R03_DRIVER_CHECKED) <= set(QUERIES), \
     "r03-checked query renamed without updating the ordering list"
+
+# The round-4 TPC-H completions are the newest, least-proven entries —
+# they go FIRST so the driver's 50-entry sample is guaranteed to cover
+# them even though the unchecked r3 backlog alone nearly fills it.
+_R4_NEWEST = [
+    "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+]
+assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in set(_R03_DRIVER_CHECKED)},
+    **{k: QUERIES[k] for k in _R4_NEWEST},
+    **{k: v for k, v in QUERIES.items()
+       if k not in set(_R03_DRIVER_CHECKED) | set(_R4_NEWEST)},
     **{k: QUERIES[k] for k in _R03_DRIVER_CHECKED},
 }
