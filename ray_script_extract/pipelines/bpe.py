@@ -1,0 +1,297 @@
+"""Distributed BPE vocabulary training + application.
+
+The missing tokenizer-side operator of the training-data family:
+learn a byte-pair-encoding merge table from the corpus (Sennrich,
+Haddow & Birch 2016, ACL — "Neural Machine Translation of Rare Words
+with Subword Units", the public algorithm every modern tokenizer
+derives from), then tokenize documents with it.
+
+Scale shape (how real tokenizer trainers run at corpus scale):
+* the corpus collapses to a WORD-FREQUENCY table in ONE pass — the
+  only all-to-all is the word-count exchange, and its output is
+  bounded by the distinct-word vocabulary, not the corpus;
+* the frequency table is then truncated to the ``top_words`` most
+  frequent words (deterministic ties: count desc, word asc) with the
+  truncation LOGGED — no silent caps — because merge learning needs
+  the dict on one node; 2^16 words × a few hundred merges is driver
+  work measured in seconds regardless of corpus size;
+* merge learning is the standard incremental algorithm: a pair→count
+  table plus a pair→word index, only re-examining words that contain
+  the merged pair (naive full recounts per merge are O(merges ×
+  corpus-vocab) and die at real vocab sizes — the naive twin lives in
+  the tests as the correctness oracle);
+* application broadcasts the merge-rank dict once (``ray.put``) and
+  encodes only the UNIQUE words of each batch (Zipf makes uniques a
+  small fraction), with a module-level cross-batch memo keyed by the
+  merge-table fingerprint — the same warm-task-pool pattern as
+  stages/extract.py.
+
+Pre-tokenization matches the battery's word convention (lowercase,
+whitespace split — word_frequency/doc_token_stats, queries.py:1788);
+words get a '</w>' end-of-word sentinel so merges can't cross word
+boundaries.
+
+Correctness: BPE learning/encoding is not SQL-expressible → rows-only
+driver checks; the exact semantics are pinned in tests/test_bpe.py
+(incremental-vs-naive merge equality on randomized corpora, encode
+round-trip, and a hand-computed Sennrich-style fixture).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_EOW = "</w>"
+
+
+# ---------------------------------------------------------------------------
+# Corpus → bounded word-frequency table (the one distributed pass)
+# ---------------------------------------------------------------------------
+
+def _word_count_table(sf_dir: str, top_words: int,
+                      min_freq: int) -> pd.DataFrame:
+    from .joins import groupby_agg_partitioned, sorted_small
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        flat = words.combine_chunks().flatten() \
+            if isinstance(words, pa.ChunkedArray) else words.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"word": flat}).group_by(["word"]) \
+            .aggregate([("word", "count")])
+        return pa.table({"word": g.column("word"),
+                         "cnt": g.column("word_count").cast(pa.int64())})
+
+    counts = groupby_agg_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["word"], {"cnt": "sum"})
+    kept = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("cnt"), pa.scalar(min_freq, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    top = sorted_small(kept, ["cnt", "word"],
+                       descending=[True, False]).limit(top_words)
+    return top.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Merge learning (driver-side over the bounded dict, incremental)
+# ---------------------------------------------------------------------------
+
+def learn_bpe(word_counts: Dict[str, int],
+              num_merges: int) -> List[Tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a word→count dict.
+
+    Deterministic: the next merge is the pair with the highest total
+    count, ties broken by the lexicographically smallest (left, right)
+    pair.  Incremental bookkeeping — after a merge only words that
+    contained the pair are re-examined (their id set is maintained per
+    pair), matching the reference subword-nmt behavior that the naive
+    recount twin in tests/test_bpe.py verifies.  The argmax is a LAZY
+    max-heap ((−count, pair) entries pushed on every count change,
+    validated against the live table at pop) — full dict scans per
+    merge would be O(merges × |pairs|)."""
+    import heapq
+
+    words: List[List[str]] = []
+    freqs: List[int] = []
+    for w, c in word_counts.items():
+        if not w:
+            continue
+        words.append(list(w) + [_EOW])
+        freqs.append(int(c))
+
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+            pair_words.setdefault((a, b), set()).add(i)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(pair: Tuple[str, str], delta: int, f: int):
+        c = pair_counts.get(pair, 0) + delta * f
+        if c <= 0:
+            pair_counts.pop(pair, None)
+        else:
+            # push on EVERY change (decrements too): validation at pop
+            # discards stale entries, but a decremented-yet-positive
+            # pair must keep a live entry at its new count
+            pair_counts[pair] = c
+            heapq.heappush(heap, (-c, pair))
+
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        neg_c, best = heapq.heappop(heap)
+        if pair_counts.get(best) != -neg_c:
+            continue  # stale entry
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        for i in list(pair_words.get(best, ())):
+            syms = words[i]
+            f = freqs[i]
+            # remove this word's old pair contributions
+            for a, b in zip(syms, syms[1:]):
+                bump((a, b), -1, f)
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(i)
+                    if not ws:
+                        del pair_words[(a, b)]
+            # apply the merge left-to-right
+            out: List[str] = []
+            j = 0
+            while j < len(syms):
+                if (j + 1 < len(syms)
+                        and (syms[j], syms[j + 1]) == best):
+                    out.append(merged_sym)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            # add back the new contributions
+            for a, b in zip(out, out[1:]):
+                bump((a, b), +1, f)
+                pair_words.setdefault((a, b), set()).add(i)
+    return merges
+
+
+def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Encode one word with a learned merge-rank table: repeatedly
+    apply the LOWEST-RANK applicable merge (the canonical BPE encode
+    order — identical to replaying the merges in training order)."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_j = -1
+        for j in range(len(syms) - 1):
+            r = ranks.get((syms[j], syms[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        pair = (syms[best_j], syms[best_j + 1])
+        merged = pair[0] + pair[1]
+        out: List[str] = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+# ---------------------------------------------------------------------------
+# queries() entries
+# ---------------------------------------------------------------------------
+
+_DEFAULT_MERGES = 512
+_DEFAULT_TOP_WORDS = 1 << 16
+_DEFAULT_MIN_FREQ = 2
+
+
+def bpe_train_merges(sf_dir: str, num_merges: int = _DEFAULT_MERGES,
+                     top_words: int = _DEFAULT_TOP_WORDS,
+                     min_freq: int = _DEFAULT_MIN_FREQ) -> pd.DataFrame:
+    """Train a BPE merge table from the documents corpus; returns
+    (rank, left, right, merged) — the full learned vocabulary order.
+    Rows-only correctness (merge learning is not SQL-expressible);
+    semantics pinned in tests/test_bpe.py."""
+    wc = _word_count_table(sf_dir, top_words, min_freq)
+    if len(wc) == top_words:
+        # no silent caps: the dict was truncated at the budget
+        print(f"bpe_train_merges: word dict truncated to top "
+              f"{top_words} words (count desc, word asc)")
+    merges = learn_bpe(dict(zip(wc["word"], wc["cnt"])), num_merges)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges],
+        "merged": [a + b for a, b in merges],
+    })
+
+
+# cross-batch encode memo, keyed by the merge-table fingerprint so a
+# retrained vocabulary never reuses stale encodings (same warm-state
+# pattern as stages/extract.py's module-level task-pool state)
+_ENCODE_MEMO: dict = {"fp": None, "cache": {}}
+
+
+def _token_count_unique(uniq: np.ndarray, ranks: Dict, fp: int) -> np.ndarray:
+    if _ENCODE_MEMO["fp"] != fp:
+        _ENCODE_MEMO["fp"] = fp
+        _ENCODE_MEMO["cache"] = {}
+    cache = _ENCODE_MEMO["cache"]
+    out = np.empty(len(uniq), np.int64)
+    for i, w in enumerate(uniq):
+        n = cache.get(w)
+        if n is None:
+            n = len(encode_word(w, ranks))
+            cache[w] = n
+        out[i] = n
+    return out
+
+
+def bpe_token_counts(sf_dir: str, num_merges: int = _DEFAULT_MERGES,
+                     top_words: int = _DEFAULT_TOP_WORDS,
+                     min_freq: int = _DEFAULT_MIN_FREQ):
+    """Tokenize every document with a corpus-trained BPE vocabulary;
+    returns (doc_id, n_bpe_tokens) sorted by doc_id.
+
+    The merge-rank dict broadcasts ONCE (``ray.put``); each batch
+    encodes only its UNIQUE words (np.unique + inverse indices — Zipf
+    makes uniques a small fraction of tokens) against a cross-batch
+    memo, then np.bincount folds per-word token counts back to
+    per-document totals."""
+    from .joins import sorted_small
+    from .queries import _read
+
+    merges_df = bpe_train_merges(sf_dir, num_merges, top_words, min_freq)
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges_df["rank"], merges_df["left"], merges_df["right"])}
+    fp = hash(tuple(sorted(ranks.items())))
+    handle = ray.put(ranks)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        rk = ray.get(handle)
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        per_word = _token_count_unique(uniq, rk, fp)
+        totals = np.bincount(parents, weights=per_word[inv],
+                             minlength=len(batch)).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(totals, pa.int64())})
+
+    return sorted_small(ds.map_batches(count_tokens, batch_format="pyarrow",
+                                       zero_copy_batch=True), "doc_id")

@@ -3006,6 +3006,13 @@ QUERIES["q9_profit_by_nation"] = q9_profit_by_nation
 QUERIES["q11_important_parts"] = q11_important_parts
 QUERIES["q20_promotion_suppliers"] = q20_promotion_suppliers
 QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+from .bpe import bpe_token_counts, bpe_train_merges  # noqa: E402
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+QUERIES["bpe_token_counts"] = bpe_token_counts
+# rows-only: BPE merge learning / tokenization are not SQL-expressible;
+# semantics pinned against the naive-recount twin in tests/test_bpe.py
+
 ORACLE_SQL["q2_min_cost_supplier"] = Q2_SQL
 ORACLE_SQL["q9_profit_by_nation"] = Q9_SQL
 ORACLE_SQL["q11_important_parts"] = Q11_SQL
@@ -3056,6 +3063,7 @@ assert set(_R03_DRIVER_CHECKED) <= set(QUERIES), \
 _R4_NEWEST = [
     "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "bpe_train_merges", "bpe_token_counts",
 ]
 assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {

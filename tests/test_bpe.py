@@ -1,0 +1,140 @@
+"""BPE trainer/applier semantics (pipelines/bpe.py).
+
+The distributed pieces are thin (one word-count exchange + a
+broadcast); what needs pinning is the merge-learning and encoding
+algebra — verified here against a naive recount-from-scratch twin and
+a hand-computed Sennrich-style fixture."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ray_script_extract.pipelines.bpe import _EOW, encode_word, learn_bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def naive_learn_bpe(word_counts, num_merges):
+    """Recount-from-scratch reference: same deterministic tie-break
+    (count desc, then lexicographically smallest pair)."""
+    words = {w: list(w) + [_EOW] for w in word_counts if w}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in words.items():
+            f = word_counts[w]
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges
+
+
+def test_sennrich_fixture():
+    """The classic ACL'16 toy corpus: 'es' then 'est' then 'est</w>'
+    lead the merge order (newest+widest dominate)."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(wc, 4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", _EOW)
+    assert merges == naive_learn_bpe(wc, 4)
+
+
+def test_incremental_equals_naive_randomized():
+    rng = random.Random(7)
+    alphabet = "abcdef"
+    for trial in range(20):
+        wc = {}
+        for _ in range(rng.randint(3, 25)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 8)))
+            wc[w] = rng.randint(1, 9)
+        n = rng.randint(1, 12)
+        assert learn_bpe(dict(wc), n) == naive_learn_bpe(wc, n), \
+            f"trial {trial}: {wc}"
+
+
+def test_encode_round_trip_and_replay():
+    """Encoding must (a) reconstruct the word when tokens are joined,
+    and (b) equal the training-time segmentation for trained words
+    (lowest-rank-first encode == replaying merges in order)."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "newer": 4}
+    merges = learn_bpe(dict(wc), 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # replay merges in training order over every word
+    replay = {w: list(w) + [_EOW] for w in wc}
+    for p in merges:
+        for w, syms in replay.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == p:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            replay[w] = out
+
+    for w in wc:
+        toks = encode_word(w, ranks)
+        assert "".join(toks).replace(_EOW, "") == w
+        assert toks == replay[w]
+    # unseen word still round-trips (falls back toward characters)
+    toks = encode_word("zzlowzz", ranks)
+    assert "".join(toks).replace(_EOW, "") == "zzlowzz"
+
+
+def test_empty_and_degenerate():
+    assert learn_bpe({}, 5) == []
+    assert learn_bpe({"": 3}, 5) == []
+    # single-char word: only pair is (c, </w>)
+    assert learn_bpe({"a": 2}, 5) == [("a", _EOW)]
+    assert encode_word("a", {("a", _EOW): 0}) == ["a" + _EOW]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_queries_end_to_end():
+    import pandas as pd
+
+    from ray_script_extract.pipelines.bpe import (bpe_token_counts,
+                                                  bpe_train_merges)
+
+    merges = bpe_train_merges(SF, num_merges=64)
+    assert list(merges.columns) == ["rank", "left", "right", "merged"]
+    assert len(merges) == 64
+    assert (merges["merged"] == merges["left"] + merges["right"]).all()
+
+    counts = bpe_token_counts(SF, num_merges=64)
+    df = counts if isinstance(counts, pd.DataFrame) else counts.to_pandas()
+    assert len(df) > 0 and (df["n_bpe_tokens"] > 0).all()
+    # BPE with merges must not exceed pure character+EOW token count
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    joined = df.sort_values("doc_id").reset_index(drop=True)
+    assert (joined["doc_id"] == docs["doc_id"]).all()
+    # spot-check 5 docs against a direct per-word encode
+    from ray_script_extract.pipelines.bpe import encode_word as enc
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges["rank"], merges["left"], merges["right"])}
+    for i in range(0, min(len(docs), 50), 10):
+        words = [w for w in docs.loc[i, "text"].lower().split() if w]
+        expect = sum(len(enc(w, ranks)) for w in words)
+        assert int(joined.loc[i, "n_bpe_tokens"]) == expect
