@@ -3013,6 +3013,14 @@ QUERIES["bpe_token_counts"] = bpe_token_counts
 # rows-only: BPE merge learning / tokenization are not SQL-expressible;
 # semantics pinned against the naive-recount twin in tests/test_bpe.py
 
+from .ann_index import build_ivf_index, knn_cosine_ivf_indexed  # noqa: E402
+
+QUERIES["build_ivf_index"] = build_ivf_index
+QUERIES["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
+# rows-only: k-means assignment is not SQL-expressible; indexed ==
+# in-memory IVF equality + partition pruning pinned in
+# tests/test_ann_index.py
+
 ORACLE_SQL["q2_min_cost_supplier"] = Q2_SQL
 ORACLE_SQL["q9_profit_by_nation"] = Q9_SQL
 ORACLE_SQL["q11_important_parts"] = Q11_SQL
@@ -3064,6 +3072,7 @@ _R4_NEWEST = [
     "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "bpe_train_merges", "bpe_token_counts",
+    "build_ivf_index", "knn_cosine_ivf_indexed",
 ]
 assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {
