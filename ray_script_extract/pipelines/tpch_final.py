@@ -118,14 +118,18 @@ def q2_min_cost_supplier(sf_dir: str, top_k: int = 100,
     Ties at the per-part minimum keep every winning supplier (Q2's
     correlated ``= (SELECT MIN …)`` semantics).
 
-    Plan: lineitem collapses map-side to per-(part, supp) MIN-unit
-    partials with the region filter applied through the supplier
-    broadcast; the filtered part keys ride the SAME partkey exchange
-    as tag rows (supp = -1 sentinel), so the semi-join plus the
-    correlated min resolve in ONE all-to-all.  Supplier details
-    (name, acctbal, nation) attach to the bounded winner set via the
-    budgeted broadcast; ``force_shuffle`` pins the partitioned-join
-    twins for both dimension paths."""
+    Plan (primary): the filtered part keys are a budgeted broadcast,
+    so lineitem prefilters to the target parts MAP-SIDE (the selected
+    fraction is tiny — |part|/(50·|types|)) and collapses to
+    per-(part, supp) MIN-unit partials with the region filter applied
+    through the supplier broadcast; the partkey exchange then carries
+    almost nothing.  Past the part budget / under ``force_shuffle``
+    the filtered part keys ride the SAME partkey exchange as tag rows
+    (supp = -1 sentinel), so the semi-join plus the correlated min
+    still resolve in ONE all-to-all.  Supplier details (name, acctbal,
+    nation) attach to the bounded winner set via the budgeted
+    broadcast; ``force_shuffle`` pins the partitioned-join twins for
+    every dimension path."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -139,11 +143,19 @@ def q2_min_cost_supplier(sf_dir: str, top_k: int = 100,
 
     supp_nat = None if force_shuffle else broadcast_int_lookup(
         f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    part_bc = None if force_shuffle else _broadcast_part(
+        sf_dir, (pc.field("p_size") == _Q2_SIZE)
+        & (pc.field("p_type") == _Q2_TYPE))
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
 
     def li_partial(t: pa.Table) -> pa.Table:
+        if part_bc is not None:
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sel_keys, _ = ray.get(part_bc)
+            t = t.filter(pa.array(_member_mask(sel_keys, pk)))
         supp = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         if supp_nat is not None:
@@ -186,24 +198,34 @@ def q2_min_cost_supplier(sf_dir: str, top_k: int = 100,
             right_schema=pa.schema([("s_suppkey", pa.int64()),
                                     ("s_nat", pa.int64())]))
 
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey"],
-        filter=(pc.field("p_size") == _Q2_SIZE)
-        & (pc.field("p_type") == _Q2_TYPE))
+    if part_bc is not None:
+        # membership already applied map-side; nothing to union
+        both = partials
+    else:
+        part = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"],
+            filter=(pc.field("p_size") == _Q2_SIZE)
+            & (pc.field("p_type") == _Q2_TYPE))
 
-    def part_tag(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({"key": t.column("p_partkey").cast(pa.int64()),
-                         "supp": pa.array(np.full(n, -1), pa.int64()),
-                         "unit": pa.array(np.full(n, -1), pa.int64())})
+        def part_tag(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({"key": t.column("p_partkey").cast(pa.int64()),
+                             "supp": pa.array(np.full(n, -1), pa.int64()),
+                             "unit": pa.array(np.full(n, -1), pa.int64())})
 
-    both = partials.union(part.map_batches(part_tag, batch_format="pyarrow",
-                                           zero_copy_batch=True))
+        both = partials.union(part.map_batches(
+            part_tag, batch_format="pyarrow", zero_copy_batch=True))
+
+    has_tags = part_bc is None
 
     def pick_winners(df: pd.DataFrame) -> pd.DataFrame:
-        sel = np.unique(df.loc[df["supp"].to_numpy() < 0, "key"].to_numpy())
-        c = df[df["supp"].to_numpy() >= 0]
-        c = c[_member_mask(sel, c["key"].to_numpy())]
+        if has_tags:
+            sel = np.unique(
+                df.loc[df["supp"].to_numpy() < 0, "key"].to_numpy())
+            c = df[df["supp"].to_numpy() >= 0]
+            c = c[_member_mask(sel, c["key"].to_numpy())]
+        else:
+            c = df
         if not len(c):
             return pd.DataFrame({"p_partkey": np.array([], np.int64),
                                  "s_suppkey": np.array([], np.int64),
