@@ -3021,6 +3021,13 @@ QUERIES["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
 # in-memory IVF equality + partition pruning pinned in
 # tests/test_ann_index.py
 
+from .mmr import rerank_mmr  # noqa: E402
+
+QUERIES["rerank_mmr"] = rerank_mmr
+# rows-only: greedy argmax chains are not SQL-expressible; exact
+# corpus-wide equality when candidates cover the corpus + naive-twin
+# equality pinned in tests/test_mmr.py
+
 ORACLE_SQL["q2_min_cost_supplier"] = Q2_SQL
 ORACLE_SQL["q9_profit_by_nation"] = Q9_SQL
 ORACLE_SQL["q11_important_parts"] = Q11_SQL
@@ -3072,7 +3079,7 @@ _R4_NEWEST = [
     "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "bpe_train_merges", "bpe_token_counts",
-    "build_ivf_index", "knn_cosine_ivf_indexed",
+    "build_ivf_index", "knn_cosine_ivf_indexed", "rerank_mmr",
 ]
 assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {
