@@ -1171,3 +1171,76 @@ SELECT doc_id, component, CAST(csize AS BIGINT) AS csize,
        CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM ranked ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (append-path) dedup: incoming batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch"
+
+
+def dedup_incremental(sf_dir: str):
+    """The production append path: dedup an INCOMING document batch
+    against the EXISTING corpus — survivors are incoming docs whose
+    text neither appears in the corpus nor earlier (min doc_id) in
+    the batch itself.  The two sides stand in for two ingest dirs;
+    here they are the deterministic doc_id % 5 split of `documents`
+    so the DuckDB oracle sees identical data.
+
+    Shape: ONE text-keyed exchange (the q4 union-tag pattern on a
+    string key).  The corpus side reduces to per-block DISTINCT texts
+    tagged doc_id = -1 — at 100 TB this side would be the persisted
+    content-hash index, and the per-block distinct keeps the shuffle
+    payload at |unique texts|, not |corpus|.  Each partition then
+    drops incoming texts with a corpus tag and keeps min(doc_id) per
+    surviving text — the stages/lineage.py resume anti-join's
+    skip-what-exists semantics lifted from shard manifests to
+    document content (beyond-reference capability: the reference
+    converts one file at a time and has no corpus-level append
+    path)."""
+    from .joins import hash_partitioned_map, sorted_small
+    from .queries import _read
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        incoming = (ids % _INCR_MOD) == 0
+        inc = batch.filter(pa.array(incoming))
+        cor = batch.filter(pa.array(~incoming))
+        cor_texts = pc.unique(cor.column("text"))
+        return pa.table({
+            "text": pa.concat_arrays(
+                [inc.column("text").combine_chunks(), cor_texts]),
+            "doc_id": pa.array(np.concatenate([
+                inc.column("doc_id").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                np.full(len(cor_texts), -1, np.int64)]), pa.int64()),
+        })
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        blocked = set(df.loc[ids < 0, "text"])
+        inc = df[ids >= 0]
+        inc = inc[~inc["text"].isin(blocked)]
+        if not len(inc):
+            return pd.DataFrame({"doc_id": np.array([], np.int64)})
+        g = inc.groupby("text", as_index=False, sort=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64)})
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_small(hash_partitioned_map(tagged, ["text"], survivors),
+                        "doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_MOD} = 0),
+corpus AS (
+  SELECT text FROM documents WHERE doc_id % {_INCR_MOD} != 0)
+SELECT MIN(doc_id) AS doc_id FROM incoming
+WHERE text NOT IN (SELECT text FROM corpus)
+GROUP BY text ORDER BY doc_id
+"""

@@ -3021,6 +3021,11 @@ QUERIES["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
 # in-memory IVF equality + partition pruning pinned in
 # tests/test_ann_index.py
 
+from .dedup import DEDUP_INCREMENTAL_SQL, dedup_incremental  # noqa: E402
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLE_SQL["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
 from .mmr import rerank_mmr  # noqa: E402
 
 QUERIES["rerank_mmr"] = rerank_mmr
@@ -3080,6 +3085,7 @@ _R4_NEWEST = [
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "bpe_train_merges", "bpe_token_counts",
     "build_ivf_index", "knn_cosine_ivf_indexed", "rerank_mmr",
+    "dedup_incremental",
 ]
 assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {
