@@ -117,12 +117,20 @@ def write_corpus_jsonl(ds: "ray.data.Dataset", path: str) -> None:
     ds.write_json(path)
 
 
-def read_corpus_jsonl(path: str) -> "ray.data.Dataset":
+def read_corpus_jsonl(path: str,
+                      compression: str | None = None) -> "ray.data.Dataset":
     """JSONL interchange source: parses shard files in parallel
     (pyarrow's block JSON reader, not a Python per-line loop) and
     restores the canonical ``DOC_SCHEMA`` — JSON has no int32 or
     struct-field ordering, so the span structs are rebuilt
-    column-by-column instead of relying on ``cast``."""
+    column-by-column instead of relying on ``cast``.
+
+    ``compression``: compressed shards (`.jsonl.gz` — the wire format
+    most corpus drops arrive in) decompress inside each read task,
+    never on the driver.  Arrow autodetects the codec from a ``.gz``
+    file suffix (round-tripped in tests/test_jsonl_corpus.py); pass
+    "gzip" (or any pyarrow stream codec) explicitly for shards
+    without the suffix."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -147,7 +155,13 @@ def read_corpus_jsonl(path: str) -> "ray.data.Dataset":
         return pa.table({"doc_id": tbl.column("doc_id").cast(pa.string()),
                          "spans": spans}, schema=DOC_SCHEMA)
 
-    return ray.data.read_json(path).map_batches(
+    if compression is None and path.endswith(".gz"):
+        compression = "gzip"
+    kw = {}
+    if compression is not None:
+        kw = {"arrow_open_stream_args": {"compression": compression},
+              "file_extensions": None}
+    return ray.data.read_json(path, **kw).map_batches(
         to_schema, batch_format="pyarrow", zero_copy_batch=True)
 
 

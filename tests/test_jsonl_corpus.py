@@ -73,3 +73,35 @@ def test_jsonl_feeds_extraction(tmp_path):
     via_jsonl = spans_df(build_extract_pipeline(read_corpus_jsonl(out)))
     direct = spans_df(build_extract_pipeline(corpus_dataset(12, seed=11)))
     pd.testing.assert_frame_equal(via_jsonl, direct)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_gzip_round_trip(tmp_path):
+    """Compressed shards (.jsonl.gz — the wire format corpus drops
+    arrive in): write plain, gzip the shards, read back with
+    autodetected compression; identical table."""
+    import gzip
+    import shutil
+
+    from ray_script_extract.corpus import corpus_dataset
+    from ray_script_extract.pipelines.extract_pipeline import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+    from ray_script_extract.schema import DOC_SCHEMA
+
+    plain = str(tmp_path / "plain")
+    gz = str(tmp_path / "gz")
+    os.makedirs(gz)
+    ds = corpus_dataset(12, seed=9)
+    write_corpus_jsonl(ds, plain)
+    for f in os.listdir(plain):
+        with open(os.path.join(plain, f), "rb") as src, \
+                gzip.open(os.path.join(gz, f + ".gz"), "wb") as dst:
+            shutil.copyfileobj(src, dst)
+
+    back = read_corpus_jsonl(gz)  # .gz suffix autodetects gzip
+    assert back.schema().base_schema.equals(DOC_SCHEMA)
+    want = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
