@@ -20,7 +20,8 @@ from tools.check_correctness import compare
 SRC = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
-FACT_FRACS = {"orders": (0.3, 0.7), "lineitem": (0.25, 0.6)}
+FACT_FRACS = {"orders": (0.3, 0.7), "lineitem": (0.25, 0.6),
+              "events": (0.3, 0.8), "documents": (0.3, 0.7)}
 SEEDS = (11, 23)
 
 
@@ -58,9 +59,22 @@ def _run(fn, sf, **kw) -> pd.DataFrame:
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", [
+    # TPC-H / relational (orders + lineitem subsampled)
     "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
     "q21_waiting_suppliers", "q4_order_priority", "q12_priority_by_status",
     "q13_order_distribution", "q15_top_supplier", "q22_idle_rich_customers",
+    # events family (events subsampled — thin sessions, sparse asof
+    # probes, missing pivot types)
+    "events_sessionize", "events_rolling_sum3", "events_asof_last_signup",
+    "event_value_percentiles", "events_funnel", "events_user_gaps",
+    "hop_event_counts", "events_user_pivot", "lapsed_customers",
+    "events_orders_range_join",
+    # documents family (documents subsampled — changed dup structure,
+    # shifted quality/stratification boundaries)
+    "dedup_exact", "dedup_incremental", "doc_token_stats",
+    "word_frequency", "chunk_documents", "doc_quality", "langid_ngram",
+    "doc_fingerprint", "scrub_pii", "sample_stratified",
+    "split_train_val_test",
 ])
 def test_differential(random_sf, name):
     from ray_script_extract.pipelines.queries import ORACLE_SQL, QUERIES
