@@ -846,3 +846,101 @@ SELECT CAST(pid AS BIGINT) AS pid,
        CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
 FROM assigned GROUP BY pid ORDER BY pid
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (the LLM data-mix op)
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_BUDGET = 200
+
+
+def sample_temperature_mix(sf_dir: str, key: str = "lang",
+                           total_budget: int = _TEMP_MIX_BUDGET):
+    """Temperature-weighted mixing across strata — the standard LLM
+    data-mix move (upsample rare sources, damp dominant ones, e.g.
+    GPT-3 / multilingual-corpus style sampling with alpha = 0.5):
+    each stratum's share of ``total_budget`` is proportional to
+    sqrt(count) instead of count.
+
+    INTEGER-EXACT temperature: weight_s = isqrt(count_s) (floor of
+    the correctly-rounded IEEE sqrt of an integer is exact — an
+    integer count can't sit within an ulp of a different perfect
+    square), budget_s = total_budget * weight_s // sum(weights), all
+    BIGINT in both engines, so the DuckDB oracle matches bit-for-bit
+    with no float-summation ordering risk.  Floor remainders are
+    dropped (sum of budgets <= total_budget), documented, not hidden.
+
+    Two passes, both scale-shaped: (1) per-stratum counts — a
+    key-column-only read collapsing to |strata| driver rows; (2) the
+    sample_stratified selection machinery with a PER-STRATUM head
+    (deterministic (md5 rank, doc_id) order, batch-local pre-prune so
+    only <= budget_s rows per stratum leave each task)."""
+    import math
+
+    from .joins import groupby_agg_partitioned
+
+    counts_ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=[key])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([(key, "count")])
+        return pa.table({key: g.column(key),
+                         "n": g.column(f"{key}_count").cast(pa.int64())})
+
+    counts = groupby_agg_partitioned(
+        counts_ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        [key], {"n": "sum"}).to_pandas()
+
+    weights = {k: math.isqrt(int(n))
+               for k, n in zip(counts[key], counts["n"])}
+    wsum = sum(weights.values()) or 1
+    budgets = {k: total_budget * w // wsum for k, w in weights.items()}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", key])
+    max_budget = max(budgets.values(), default=0)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = pa.table({
+            key: batch.column(key),
+            "doc_id": batch.column("doc_id"),
+            "__rk": pa.array(_rank_hash(ids), pa.uint64()),
+        })
+        # batch-local pre-prune: per-stratum head distributes over
+        # blocks, so <= max budget rows per stratum leave each task
+        df = out.to_pandas().sort_values([key, "__rk", "doc_id"],
+                                         kind="stable")
+        head = df.groupby(key, sort=False).head(max_budget)
+        return pa.Table.from_pandas(head, preserve_index=False) \
+            .cast(out.schema)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "__rk", "doc_id"], kind="stable")
+        df["__pos"] = df.groupby(key, sort=False).cumcount()
+        lim = df[key].map(budgets).fillna(0).to_numpy()
+        return df[df["__pos"].to_numpy() < lim][[key, "doc_id"]]
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return sorted_small(hash_partitioned_map(tagged, [key], per_partition),
+                        [key, "doc_id"])
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+w AS (SELECT lang, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS wt FROM c),
+b AS (SELECT lang,
+             {_TEMP_MIX_BUDGET} * wt // (SELECT SUM(wt) FROM w) AS budget
+      FROM w),
+r AS (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents)
+SELECT r.lang, doc_id FROM r JOIN b USING (lang)
+WHERE rk <= budget ORDER BY lang, doc_id
+"""

@@ -3021,6 +3021,14 @@ QUERIES["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
 # in-memory IVF equality + partition pruning pinned in
 # tests/test_ann_index.py
 
+from .curation import (  # noqa: E402
+    SAMPLE_TEMPERATURE_SQL,
+    sample_temperature_mix,
+)
+
+QUERIES["sample_temperature_mix"] = sample_temperature_mix
+ORACLE_SQL["sample_temperature_mix"] = SAMPLE_TEMPERATURE_SQL
+
 from .dedup import DEDUP_INCREMENTAL_SQL, dedup_incremental  # noqa: E402
 
 QUERIES["dedup_incremental"] = dedup_incremental
@@ -3085,7 +3093,7 @@ _R4_NEWEST = [
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "bpe_train_merges", "bpe_token_counts",
     "build_ivf_index", "knn_cosine_ivf_indexed", "rerank_mmr",
-    "dedup_incremental",
+    "dedup_incremental", "sample_temperature_mix",
 ]
 assert set(_R4_NEWEST) <= set(QUERIES)
 QUERIES = {

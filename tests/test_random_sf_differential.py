@@ -74,7 +74,7 @@ def _run(fn, sf, **kw) -> pd.DataFrame:
     "dedup_exact", "dedup_incremental", "doc_token_stats",
     "word_frequency", "chunk_documents", "doc_quality", "langid_ngram",
     "doc_fingerprint", "scrub_pii", "sample_stratified",
-    "split_train_val_test",
+    "split_train_val_test", "sample_temperature_mix",
 ])
 def test_differential(random_sf, name):
     from ray_script_extract.pipelines.queries import ORACLE_SQL, QUERIES
