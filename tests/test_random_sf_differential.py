@@ -22,7 +22,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 FACT_FRACS = {"orders": (0.3, 0.7), "lineitem": (0.25, 0.6),
               "events": (0.3, 0.8), "documents": (0.3, 0.7)}
-SEEDS = (11, 23)
+SEEDS = (11, 23, 37)
 
 
 def _build_subsample(dst: str, seed: int) -> None:

@@ -50,3 +50,33 @@ def test_deterministic():
     b = sample_temperature_mix(SF).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_budget_algebra_properties():
+    """Pure integer budget algebra (no Ray): budgets never exceed the
+    total, are monotone in counts, and alpha=0.5 compresses ratios —
+    hypothesis-style sweep over random count distributions."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(200):
+        counts = {f"s{i}": rng.randint(1, 10_000)
+                  for i in range(rng.randint(1, 12))}
+        total = rng.randint(1, 5_000)
+        weights = {k: math.isqrt(v) for k, v in counts.items()}
+        wsum = sum(weights.values())
+        budgets = {k: total * w // wsum for k, w in weights.items()}
+        assert sum(budgets.values()) <= total
+        # monotone: bigger stratum never gets a smaller budget
+        ks = sorted(counts, key=lambda k: counts[k])
+        for a, b in zip(ks, ks[1:]):
+            assert budgets[a] <= budgets[b]
+        # temperature damping, exact floor-aware bound: budget_hi =
+        # floor(T*w_hi/wsum) <= (w_hi/w_lo) * (T*w_lo/wsum) <
+        # (w_hi/w_lo) * (budget_lo + 1).  (The naive "budget ratio <=
+        # count ratio" fails for small counts where isqrt floors, e.g.
+        # isqrt(3)=1 vs isqrt(4)=2.)
+        lo, hi = ks[0], ks[-1]
+        if weights[lo] > 0:
+            assert (budgets[hi]
+                    < weights[hi] / weights[lo] * (budgets[lo] + 1))
