@@ -34,7 +34,9 @@ the ``get_flagship_spans`` / minhash-pair-table seam pattern.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 from typing import Dict, List
 
 import numpy as np
@@ -51,9 +53,21 @@ from .similarity import (_query_matrix, _read_emb, _sample_matrix,
 _SHARED_INDEX: Dict[tuple, str] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Identity of the source embeddings table: absolute path + file
+    size + mtime_ns, hashed.  The fingerprint lands in the index dir
+    NAME, so (a) distinct corpora can never collide on a lossy path
+    flattening, and (b) regenerating embeddings.parquet in place
+    changes the name and a stale index is simply never found again
+    (ADVICE r4: the bare _SUCCESS marker outlived the corpus)."""
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(path)
+    raw = f"{path}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def _default_index_dir(sf_dir: str, n_clusters: int) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/ann_ivf/{tag}_c{n_clusters}"
+    return f"/tmp/ann_ivf/{_corpus_fingerprint(sf_dir)}_c{n_clusters}"
 
 
 def build_ivf_index(sf_dir: str, index_dir: str | None = None,
@@ -63,10 +77,21 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
     (the assignment depends on the seeded k-means fit, not SQL)."""
     if index_dir is None:
         index_dir = _default_index_dir(sf_dir, n_clusters)
-    key = (sf_dir, n_clusters)
+    # the fingerprint in the cache key means a corpus regenerated
+    # mid-session misses the cache and triggers a fresh build
+    key = (sf_dir, n_clusters, _corpus_fingerprint(sf_dir))
     marker = os.path.join(index_dir, "_SUCCESS")
 
     if not os.path.exists(marker):
+        # Build into a private temp dir, then rename into place: a
+        # crash mid-write leaves only an orphan temp dir, never a
+        # half-populated lists/ that a re-run would double-write into
+        # (ADVICE r4 — the old in-place build could duplicate vectors
+        # after a partial failure).
+        tmp_dir = f"{index_dir}.build-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+
         centroids = kmeans_fit(_sample_matrix(sf_dir), n_clusters)
         bc = ray.put(centroids)
 
@@ -81,7 +106,7 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
 
         _read_emb(sf_dir).map_batches(
             assign, batch_format="pyarrow", zero_copy_batch=True) \
-            .write_parquet(os.path.join(index_dir, "lists"),
+            .write_parquet(os.path.join(tmp_dir, "lists"),
                            partition_cols=["list_id"])
         # centroids persist as rows so the query step never refits
         dim = centroids.shape[1]
@@ -90,9 +115,20 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
                 "list_id": pa.array(np.arange(n_clusters), pa.int64()),
                 "centroid": pa.array(list(centroids),
                                      pa.list_(pa.float64(), dim)),
-            }), os.path.join(index_dir, "centroids.parquet"))
-        with open(marker, "w") as f:
+            }), os.path.join(tmp_dir, "centroids.parquet"))
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
             f.write("ok\n")
+        # Publish: clear any partial prior build, then one rename.  If
+        # a concurrent builder won the rename race, keep ITS complete
+        # index and discard ours (both are deterministic fits).
+        if not os.path.exists(marker):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            try:
+                os.rename(tmp_dir, index_dir)
+            except OSError:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     _SHARED_INDEX[key] = index_dir
 
     lists = _read_lists(index_dir, columns=["vec_id", "list_id"])
@@ -130,7 +166,7 @@ def _read_lists(index_dir: str, columns, probed=None) -> "ray.data.Dataset":
 
 
 def _ensure_index(sf_dir: str, n_clusters: int) -> str:
-    key = (sf_dir, n_clusters)
+    key = (sf_dir, n_clusters, _corpus_fingerprint(sf_dir))
     d = _SHARED_INDEX.get(key)
     if d is not None and os.path.exists(os.path.join(d, "_SUCCESS")):
         return d
@@ -208,3 +244,39 @@ def knn_cosine_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
 
     return sorted_small(hash_partitioned_map(scored, ["query_id"], topk),
                         ["query_id", "rank"])
+
+
+def knn_cosine_ivf_indexed_fullprobe(sf_dir: str, n_clusters: int = 16):
+    """Registry entry: probe ALL lists.  The inverted lists partition
+    the corpus, so a full probe scans every vector exactly once
+    through the hive-partitioned index read and the result equals
+    brute-force ``knn_cosine`` — which gives the persistent-index path
+    an exact SQL oracle (VERDICT r4 #3: oracle = the already-oracle'd
+    knn over the probed lists; probing all lists makes that plain
+    SQL).  The pruned regime (n_probe < n_clusters) stays pinned
+    indexed == in-memory in tests/test_ann_index.py, and path-level
+    pruning in test_partition_pruning."""
+    return knn_cosine_ivf_indexed(sf_dir, n_clusters=n_clusters,
+                                  n_probe=n_clusters)
+
+
+# same CTE chain as queries.KNN_COSINE_SQL, minus the float score
+# column (the indexed variant returns integer ranks only)
+KNN_IVF_INDEXED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -270,6 +270,40 @@ def word_frequency_sketch(sf_dir: str, k: int = 20, capacity: int = 4096):
     })
 
 
+def event_value_percentiles_sketch_exact(sf_dir: str):
+    """Registry twin pinned to the UNCOMPRESSED regime (``s`` ≥ any
+    per-batch per-type count): the MRL summary is then the raw data,
+    every weight is 1, and the weighted percentile equals
+    ``percentile_disc`` exactly — so the exact twin's SQL becomes a
+    bit-for-bit oracle for the whole sketch path (summarize → hash
+    exchange → weighted disc), per VERDICT r4 #3.  The compressed
+    regime's rank-error bound stays asserted in tests/test_sketches.py
+    against the exact twin."""
+    return event_value_percentiles_sketch(sf_dir, s=1 << 20)
+
+
+# Oracle for ``word_frequency_sketch`` in its EXACT regime: with
+# per-batch vocabulary ≤ capacity the MG step never decrements, every
+# counter is the true count and eps_total = 0, so count_lo == count_hi
+# == COUNT(*).  The test corpora have a ~31-word vocabulary against
+# capacity 4096, so the driver check exercises the full sketch path
+# (per-batch compress → marker rows → bounded reduce) while the
+# decrementing regime's bounds stay pytest-proven.
+WORD_FREQ_SKETCH_SQL = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), counts AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM words GROUP BY w
+)
+SELECT word, c AS count_lo, c AS count_hi
+FROM counts
+ORDER BY count_lo DESC, word
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005)
 # ---------------------------------------------------------------------------

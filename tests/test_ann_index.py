@@ -38,7 +38,53 @@ def test_indexed_equals_in_memory(tmp_path):
     build_ivf_index(SF, index_dir=idx, n_clusters=8)
     assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == mtime
 
-    _SHARED_INDEX.pop((SF, 8), None)
+    from ray_script_extract.pipelines.ann_index import _corpus_fingerprint
+    _SHARED_INDEX.pop((SF, 8, _corpus_fingerprint(SF)), None)
+
+
+def test_index_identity_fingerprint(tmp_path):
+    """The default index dir embeds a corpus fingerprint: distinct
+    corpora can't collide, and regenerating embeddings.parquet in
+    place changes the dir name so a stale index is never reused
+    (ADVICE r4)."""
+    import shutil as _sh
+
+    from ray_script_extract.pipelines.ann_index import _default_index_dir
+
+    a = tmp_path / "sf_0.01"
+    b = tmp_path / "sf" / "0.01"  # old lossy flattening collided these
+    for d in (a, b):
+        d.mkdir(parents=True)
+        _sh.copy(os.path.join(SF, "embeddings.parquet"),
+                 d / "embeddings.parquet")
+    assert _default_index_dir(str(a), 8) != _default_index_dir(str(b), 8)
+
+    before = _default_index_dir(str(a), 8)
+    os.utime(a / "embeddings.parquet", ns=(1, 1))  # "regenerate" corpus
+    assert _default_index_dir(str(a), 8) != before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_build_never_double_counts(tmp_path):
+    """A half-populated index dir (crashed prior build: lists/ files
+    but no _SUCCESS) is cleared and rebuilt atomically — vector counts
+    equal the corpus exactly, and no orphan temp dir survives."""
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.ann_index import build_ivf_index
+
+    idx = tmp_path / "ivf"
+    stray = idx / "lists" / "list_id=0"
+    stray.mkdir(parents=True)
+    (stray / "orphan.parquet").write_bytes(b"not a real parquet")
+
+    manifest = _df(build_ivf_index(SF, index_dir=str(idx), n_clusters=8))
+    n_corpus = pq.read_metadata(
+        os.path.join(SF, "embeddings.parquet")).num_rows
+    assert int(manifest["n_vectors"].sum()) == n_corpus
+    assert not (stray / "orphan.parquet").exists()
+    assert not [d for d in os.listdir(tmp_path)
+                if d.startswith("ivf.build-")]
 
 
 @pytest.mark.usefixtures("ray_session")
