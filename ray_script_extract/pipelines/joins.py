@@ -161,24 +161,27 @@ def exchange_map_partitions(ds: "ray.data.Dataset", part_col: str,
 
 
 @ray.remote
-def _sorted_small_merge(order, *blocks):
+def _sorted_small_merge(order, schema, *blocks):
     import ray_script_extract as _rse
     _rse._tune_malloc()
     tbls = [b if isinstance(b, pa.Table)
             else pa.Table.from_pandas(b, preserve_index=False)
             for b in blocks]
     # all-empty exchanges can emit zero-column placeholder blocks;
-    # sorting those would raise on the missing key columns
+    # sorting those would raise on the missing key columns.  With a
+    # declared schema the empty result still carries its columns
+    # (ADVICE r4: a bare zero-column table KeyErrors downstream).
     nonempty = [t for t in tbls if t.num_columns]
     if not nonempty:
-        return tbls[0]
+        return schema.empty_table() if schema is not None else tbls[0]
     t = pa.concat_tables(nonempty, promote_options="permissive") \
         if len(nonempty) > 1 else nonempty[0]
     return t.combine_chunks().sort_by(order)
 
 
 def sorted_small(ds: "ray.data.Dataset", by, descending=False,
-                 budget_bytes: int = 256 << 20) -> "ray.data.Dataset":
+                 budget_bytes: int = 256 << 20,
+                 schema: "pa.Schema | None" = None) -> "ray.data.Dataset":
     """Deterministic FINAL sort for driver-bounded results.
 
     Ray 2.49's ``Dataset.sort`` is a full range shuffle — sample
@@ -196,7 +199,9 @@ def sorted_small(ds: "ray.data.Dataset", by, descending=False,
     unbounded results keep the scale path.
 
     ``by``/``descending`` accept the same str|list / bool|list forms
-    as ``Dataset.sort``.
+    as ``Dataset.sort``.  ``schema`` (optional) declares the expected
+    output columns so a fully-empty input still yields an empty table
+    WITH those columns instead of a zero-column placeholder.
     """
     mat = ds.materialize()
     if (mat.size_bytes() or 0) > budget_bytes:
@@ -205,6 +210,9 @@ def sorted_small(ds: "ray.data.Dataset", by, descending=False,
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
     if not refs:
+        if schema is not None:
+            return ray.data.from_arrow_refs(
+                [ray.put(schema.empty_table())])
         return mat
     keys = [by] if isinstance(by, str) else list(by)
     desc = ([descending] * len(keys) if isinstance(descending, bool)
@@ -212,7 +220,7 @@ def sorted_small(ds: "ray.data.Dataset", by, descending=False,
     order = [(k, "descending" if d else "ascending")
              for k, d in zip(keys, desc)]
     return ray.data.from_arrow_refs(
-        [_sorted_small_merge.remote(order, *refs)])
+        [_sorted_small_merge.remote(order, schema, *refs)])
 
 
 def default_partitions() -> int:

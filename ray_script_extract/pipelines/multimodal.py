@@ -63,19 +63,17 @@ class MediaFeatureActor:
     — batch_size stays small because media payloads are large."""
 
     def __init__(self, seed: int = 7) -> None:
+        # ALL warm state lives here — model weights stand-in AND the
+        # codec bindings: __call__ must do per-batch work only
+        # (VERDICT r4 nit #4 — imports/closure were rebuilt per batch)
+        from ..functions.audiocodec import audio_stats_feature, decode_wav
+        from ..functions.imagecodec import (decode_image,
+                                            image_stats_feature,
+                                            resize_nearest)
+        from ..functions.videocodec import decode_rawv
+
         rng = np.random.RandomState(seed)
         self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.audiocodec import audio_stats_feature, decode_wav
-        from ..functions.imagecodec import decode_image, image_stats_feature
-
-        refs = batch.column("media_ref").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        types = batch.column("media_type").to_pylist()
-
-        from ..functions.imagecodec import resize_nearest
-        from ..functions.videocodec import decode_rawv
 
         def feat(ref: str, payload: bytes, mtype: str) -> np.ndarray:
             if payload:
@@ -102,6 +100,14 @@ class MediaFeatureActor:
                     pass  # unsupported format → hash fallback
             return fake_feature(ref, payload or b"")
 
+        self._feat = feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+
+        feat = self._feat
         feats = np.vstack([feat(r, p or b"", t) for r, p, t in
                            zip(refs, payloads, types)]) if refs else \
             np.zeros((0, FEATURE_DIM))
@@ -220,15 +226,22 @@ class ThumbnailActor:
     correctness: codec output, not SQL-expressible)."""
 
     def __init__(self, size: int = 4) -> None:
-        self.size = size
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        # codec bindings are per-actor warm state, not per-batch work
         from ..functions.imagecodec import (
             decode_image,
             encode_png,
             resize_nearest,
         )
 
+        self.size = size
+        self._decode = decode_image
+        self._encode = encode_png
+        self._resize = resize_nearest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode_image = self._decode
+        encode_png = self._encode
+        resize_nearest = self._resize
         refs, ids, thumbs, sizes = [], [], [], []
         for ref, did, payload in zip(batch.column("media_ref").to_pylist(),
                                      batch.column("doc_id").to_pylist(),

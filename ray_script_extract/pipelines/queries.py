@@ -1914,13 +1914,34 @@ ORDER BY query_id, rank
 """
 
 
-def near_dup_embeddings(sf_dir: str, threshold: float = 0.4):
+#: refusal ceiling for the exact cosine all-pairs twin (VERDICT r4
+#: #4): above this the broadcast matrix and the N^2 matmul are scale
+#: killers; the banded-LSH twin is the 100-TB path.
+NEAR_DUP_EMB_MAX_VECTORS = 100_000
+
+
+def near_dup_embeddings(sf_dir: str, threshold: float = 0.4,
+                        max_vectors: int = NEAR_DUP_EMB_MAX_VECTORS):
     """Embedding-cosine near-duplicate pairs (a < b, round(cos,4) ≥ τ).
     The full normalized matrix is broadcast once; each batch computes
     its block-row of the similarity matrix (at 10^12 scale this
-    becomes LSH-bucketed first — see dedup_minhash_lsh).  Scores are
-    rounded to 4 decimals before thresholding on both engines so the
-    float32-vs-float64 kernel difference can't flip a boundary pair."""
+    becomes LSH-bucketed first — see similarity.near_dup_embeddings_lsh).
+    Scores are rounded to 4 decimals before thresholding on both
+    engines so the float32-vs-float64 kernel difference can't flip a
+    boundary pair.
+
+    BUDGET GATE: exact all-pairs by design; inputs above
+    ``max_vectors`` are refused with a pointer at the LSH twin rather
+    than silently broadcasting a web-scale matrix (VERDICT r4 #4)."""
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_vecs > max_vectors:
+        raise ValueError(
+            f"near_dup_embeddings is an EXACT all-pairs (O(N^2)) twin "
+            f"and refuses {n_vecs:,} vectors (budget {max_vectors:,}). "
+            f"Use near_dup_embeddings_lsh for corpora at this scale, "
+            f"or raise max_vectors explicitly for an exact pass.")
     ids, mat = _load_embedding_matrix(sf_dir)
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     all_ref = ray.put((ids, norm))

@@ -136,3 +136,27 @@ def test_task_engine_skips_empty_partitions_and_blocks():
         right_schema=pa.schema([("rk", pa.int64()), ("w", pa.int64())]))
     out = groupby_agg_partitioned(j, ["k"], {"v": "sum"}).to_pandas()
     assert out[["k", "v"]].to_dict("records") == [{"k": 2, "v": 20}]
+import pyarrow as pa
+import pytest
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_small_empty_keeps_declared_schema():
+    import ray
+    from ray_script_extract.pipelines.joins import (
+        exchange_map_partitions, sorted_small)
+
+    sch = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    # an all-empty exchange yields a zero-column placeholder dataset
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                          "v": pa.array([], pa.int64())}))
+    ex = exchange_map_partitions(
+        empty.map_batches(lambda t: t.append_column(
+            "part", pa.array([0] * len(t), pa.int64())),
+            batch_format="pyarrow"),
+        "part", 4, lambda t: t)
+    out = sorted_small(ex, ["k"], schema=sch)
+    # the declared columns survive at the Dataset level (Ray 2.49's
+    # to_pandas drops columns on any 0-row dataset, so assert on the
+    # schema and on select_columns — the op the ADVICE KeyError hit)
+    assert out.schema().names == ["k", "v"]
+    assert out.select_columns(["k", "v"]).count() == 0

@@ -39,9 +39,15 @@ def test_lance_roundtrip(tmp_path, ray_session):
         write_corpus,
     )
 
-    ds = ray.data.range(10)
+    from ray_script_extract.corpus import corpus_dataset
+
+    # round-trip the REAL interleaved schema (doc_id, spans
+    # list<struct<kind,text,media_ref,offset>>), not a toy range
+    ds = corpus_dataset(8)
     write_corpus(ds, str(tmp_path / "t.lance"))
-    assert read_corpus(str(tmp_path / "t.lance")).count() == 10
+    back = read_corpus(str(tmp_path / "t.lance"))
+    assert back.count() == 8
+    assert set(back.schema().names) >= {"doc_id", "spans"}
 
 
 @pytest.mark.usefixtures("ray_session")

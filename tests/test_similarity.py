@@ -120,3 +120,21 @@ def test_sq8_codes_are_one_byte_per_dim():
     for row in head:
         assert len(row["code"]) == dim  # 1 byte/dim — the 4x cut
         assert 0.9 <= row["dnorm"] <= 1.1  # decode of a unit vector
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_twins_refuse_over_budget():
+    """The exact O(N^2) twins are budget-gated (VERDICT r4 #4): above
+    max_docs / max_vectors they refuse with a pointer at their LSH
+    scale path instead of silently launching an all-pairs job."""
+    from ray_script_extract.pipelines.dedup import dedup_ngram_jaccard
+    from ray_script_extract.pipelines.queries import near_dup_embeddings
+
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        dedup_ngram_jaccard(SF, max_docs=3)
+    with pytest.raises(ValueError, match="near_dup_embeddings_lsh"):
+        near_dup_embeddings(SF, max_vectors=3)
+
+    # within budget both still run (rows may be empty; shape intact)
+    pairs = dedup_ngram_jaccard(SF).to_pandas()
+    assert list(pairs.columns) == ["id_a", "id_b"]
