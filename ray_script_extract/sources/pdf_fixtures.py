@@ -139,13 +139,34 @@ def _encrypt_objects(objects: List[bytes], mode: str):
     return out, len(out), id0
 
 
+def helvetica_font_obj(embed_widths: bool = False,
+                       base: str = "Helvetica") -> bytes:
+    """A proportional standard-14 font object for fixtures.  With
+    ``embed_widths`` the dict carries the full AFM /Widths array
+    (32..126) so a no-/Widths fixture and its embedded twin must
+    segment identically — the cross-check that pins the engine's
+    internal standard-14 tables against the /Widths code path."""
+    if not embed_widths:
+        return (f"<< /Type /Font /Subtype /Type1 "
+                f"/BaseFont /{base} >>").encode()
+    from .pdfnative import _std14_widths
+
+    tbl = _std14_widths(base.split("-")[0], "Bold" in base,
+                        "Italic" in base or "Oblique" in base)
+    widths = " ".join(str(tbl[chr(c)]) for c in range(32, 127))
+    return (f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} "
+            f"/FirstChar 32 /LastChar 126 "
+            f"/Widths [{widths}] >>").encode()
+
+
 def build_pdf(pages: List[Sequence[Tuple]],
               compress: bool = True, page_w: int = 612,
               page_h: int = 792, objstm: bool = False,
               type0: bool = False,
               encrypt: "str | None" = None,
               cid_cmap: str = "/Identity-H",
-              images: "Optional[List[List[dict]]]" = None) -> bytes:
+              images: "Optional[List[List[dict]]]" = None,
+              extra_fonts: "Optional[dict]" = None) -> bytes:
     """Build a PDF with a 2-level page tree (pages split into two
     /Pages nodes when >1 page) and Courier / Courier-Bold /
     Courier-Oblique fonts.  ``objstm=True`` serializes it PDF-1.5
@@ -178,6 +199,11 @@ def build_pdf(pages: List[Sequence[Tuple]],
                     b"/BaseFont /Courier-Bold >>")
     font_obl = add(b"<< /Type /Font /Subtype /Type1 "
                    b"/BaseFont /Courier-Oblique >>")
+    # extra_fonts: {"F4": <font dict bytes>} — appended to /Resources
+    # so proportional-font fixtures can opt in per line via
+    # opts["font"]; existing Courier fixtures keep their numbering
+    extra_nums = {name: add(body)
+                  for name, body in (extra_fonts or {}).items()}
 
     # image XObjects: ``images`` is a per-page list of dicts
     # {data: bytes (stored payload, e.g. a JPEG), w, h (pixel dims),
@@ -250,8 +276,10 @@ def build_pdf(pages: List[Sequence[Tuple]],
         entries = " ".join(f"/{n} {num} 0 R"
                            for n, num in img_name_to_num.items())
         xobj_res = f" /XObject << {entries} >>"
+    extra_res = "".join(f" /{name} {num} 0 R"
+                        for name, num in extra_nums.items())
     resources = (f"<< /Font << /F1 {font_num} 0 R /F2 {font_bold} 0 R "
-                 f"/F3 {font_obl} 0 R >>{xobj_res} >>")
+                 f"/F3 {font_obl} 0 R{extra_res} >>{xobj_res} >>")
     if n > 1:
         kids_a = " ".join(f"{p} 0 R" for p in page_nums[:split])
         kids_b = " ".join(f"{p} 0 R" for p in page_nums[split:])

@@ -40,8 +40,11 @@ Supported subset (matches FIXTURES.md §4):
   bits 7 (italic) and 19 (force-bold) — wrap runs in ``<b>``/``<i>``
   exactly like poppler's pdftohtml, driving textAttributes ranges
   (``ParseText.php:70-95``);
-* widths via Courier standard-14 fixed 600/1000 advance or an
-  embedded /Widths array; ToUnicode bfchar CMaps (hex) for decode;
+* widths via an embedded /Widths array when present, else the
+  standard-14 AFM metrics: Courier fixed 600/1000, proportional
+  Helvetica/Times tables (incl. Bold/Italic faces and Arial/
+  TimesNewRoman aliases — ``_std14_widths``) so no-/Widths PDFs
+  segment like poppler; ToUnicode bfchar CMaps (hex) for decode;
 * WinAnsi/latin-1 byte decode otherwise.
 
 Coordinate convention (documented assumption, poppler unavailable in
@@ -594,6 +597,107 @@ class PdfDocument:
 # Courier standard-14: all glyphs advance 600/1000
 _COURIER_WIDTH = 600
 
+
+# ---------------------------------------------------------------------------
+# Standard-14 proportional advance tables (Adobe Core 14 AFM metrics —
+# public data shipped with every PDF renderer).  A real-world PDF set
+# in Helvetica/Times WITHOUT an embedded /Widths array must still get
+# poppler-grade x/width so the reference's gap arithmetic (÷7 spaces,
+# ParseText.php:515-524) and ±4 px line bucketing (:286-311) fire
+# identically (SURVEY §7 step 6; VERDICT r4 #1).
+#
+# Tables are keyed by CHARACTER (printable ASCII 32..126) so
+# /Encoding /Differences remaps resolve through the decoded glyph;
+# codes outside the table fall back to the Courier 600 default — the
+# engine's pre-r5 conservative guess, now only for exotic glyphs.
+# Per the published AFMs, Helvetica-Oblique shares Helvetica's
+# advances and Helvetica-BoldOblique shares Helvetica-Bold's; the four
+# Times faces all differ.  Arial / TimesNewRoman (and the PS-suffixed
+# names Office writers emit) alias to the matching standard-14
+# metrics — the same base-14 substitution poppler applies.  Symbol /
+# ZapfDingbats are NOT tabled (their glyphs never carry screenplay
+# text); they take the 600 fallback, documented here rather than
+# risking wrong metrics.
+
+def _std14_table(vals: str) -> Dict[str, int]:
+    nums = [int(v) for v in vals.split()]
+    assert len(nums) == 95, len(nums)
+    return {chr(32 + i): w for i, w in enumerate(nums)}
+
+
+_HELV_W = _std14_table("""
+278 278 355 556 556 889 667 191 333 333 389 584 278 333 278 278
+556 556 556 556 556 556 556 556 556 556 278 278 584 584 584 556
+1015 667 667 722 722 667 611 778 722 278 500 667 556 833 722 778
+667 778 722 667 611 722 667 944 667 667 611 278 278 278 469 556
+333 556 556 500 556 556 278 556 556 222 222 500 222 833 556 556
+556 556 333 500 278 556 500 722 500 500 500 334 260 334 584
+""")
+
+_HELV_BOLD_W = _std14_table("""
+278 333 474 556 556 889 722 238 333 333 389 584 278 333 278 278
+556 556 556 556 556 556 556 556 556 556 333 333 584 584 584 611
+975 722 722 722 722 667 611 778 722 278 556 722 611 833 722 778
+667 778 722 667 611 722 667 944 667 667 611 333 278 333 584 556
+333 556 611 556 611 556 333 611 611 278 278 556 278 889 611 611
+611 611 389 556 333 611 556 778 556 556 500 389 280 389 584
+""")
+
+_TIMES_R_W = _std14_table("""
+250 333 408 500 500 833 778 180 333 333 500 564 250 333 250 278
+500 500 500 500 500 500 500 500 500 500 278 278 564 564 564 444
+921 722 667 667 722 611 556 722 722 333 389 722 611 889 722 722
+556 722 667 556 611 722 722 944 722 722 611 333 278 333 469 500
+333 444 500 444 500 444 333 500 500 278 278 500 278 778 500 500
+500 500 333 389 278 500 500 722 500 500 444 480 200 480 541
+""")
+
+_TIMES_B_W = _std14_table("""
+250 333 555 500 500 1000 833 278 333 333 500 570 250 333 250 278
+500 500 500 500 500 500 500 500 500 500 333 333 570 570 570 500
+930 722 667 722 722 667 611 778 778 389 500 778 667 944 722 778
+611 778 722 556 667 722 722 1000 722 722 667 333 278 333 581 500
+333 500 556 444 556 444 333 500 556 278 333 556 278 833 556 500
+556 556 444 389 333 556 500 722 500 500 444 394 220 394 520
+""")
+
+_TIMES_I_W = _std14_table("""
+250 333 420 500 500 833 778 214 333 333 500 675 250 333 250 278
+500 500 500 500 500 500 500 500 500 500 333 333 675 675 675 500
+920 611 611 667 722 611 611 722 722 333 444 667 556 833 667 722
+611 722 611 500 556 722 611 833 611 556 556 389 278 389 422 500
+333 500 500 444 500 444 278 500 500 278 278 444 278 722 500 500
+500 500 389 389 278 500 444 667 444 444 389 400 275 400 541
+""")
+
+_TIMES_BI_W = _std14_table("""
+250 389 555 500 500 833 778 278 333 333 500 570 250 333 250 278
+500 500 500 500 500 500 500 500 500 500 333 333 570 570 570 500
+832 667 667 667 722 667 667 722 778 389 500 667 611 889 722 722
+611 722 667 556 611 722 667 889 667 611 611 333 278 333 570 500
+333 500 500 444 500 444 333 500 556 278 278 500 278 778 556 500
+500 500 389 389 278 556 444 667 500 444 389 348 220 348 570
+""")
+
+
+def _std14_widths(family: str, bold: bool,
+                  italic: bool) -> Optional[Dict[str, int]]:
+    """Pick the standard-14 advance table for a base font with no
+    embedded /Widths; None keeps the Courier fixed-600 path (Courier
+    family, Symbol/ZapfDingbats, and anything unrecognized)."""
+    fam = family.lower()
+    if "helvetica" in fam or "arial" in fam:
+        return _HELV_BOLD_W if bold else _HELV_W
+    if "times" in fam:
+        if bold and italic:
+            return _TIMES_BI_W
+        if bold:
+            return _TIMES_B_W
+        if italic:
+            return _TIMES_I_W
+        return _TIMES_R_W
+    return None
+
 # Compact Adobe-Glyph-List subset for /Encoding /Differences names:
 # ASCII letters map to themselves; names below cover digits,
 # punctuation and the common Latin-1 accents; 'uniXXXX' handled
@@ -780,6 +884,12 @@ class _Font:
                 flags = int(flags)
                 self.italic = self.italic or bool(flags & (1 << 6))
                 self.bold = self.bold or bool(flags & (1 << 18))
+        # proportional standard-14 metrics kick in ONLY when the font
+        # embeds no /Widths (an embedded array always wins, per spec);
+        # selection follows the resolved family + style flags above
+        self.std14: Optional[Dict[str, int]] = (
+            _std14_widths(self.family, self.bold, self.italic)
+            if self.widths is None and not self.cid else None)
 
     def _parse_w_array(self, doc: PdfDocument, w) -> None:
         """CIDFont /W: ``[c [w...]]`` per-CID runs or ``[c1 c2 w]``
@@ -871,6 +981,13 @@ class _Font:
                 else:
                     total += _COURIER_WIDTH
             return total
+        if self.std14 is not None:
+            # resolve through /Differences so a remapped code advances
+            # by its actual glyph; unmapped glyphs fall back to 600
+            return float(sum(
+                self.std14.get(self.diff_map.get(c, chr(c)),
+                               _COURIER_WIDTH)
+                for c in codes))
         return _COURIER_WIDTH * len(codes)
 
 
