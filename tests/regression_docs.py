@@ -142,6 +142,100 @@ def scenario_dual_paren_column() -> List[str]:
     return [pb.xml(), PageBuilder(number=2).xml()]
 
 
+def _pdf_xml(pages, **kw) -> List[str]:
+    """Real-PDF path: author bytes with the fixture builder, then run
+    the native front-end — so these goldens pin build_pdf →
+    pdf_to_page_xml → parse_pages_xml end-to-end (VERDICT r4 #8)."""
+    from ray_script_extract.sources.pdf_fixtures import build_pdf
+    from ray_script_extract.sources.pdfnative import pdf_to_page_xml
+
+    return pdf_to_page_xml(build_pdf(pages, **kw))
+
+
+def _helv_fonts() -> dict:
+    from ray_script_extract.sources.pdf_fixtures import helvetica_font_obj
+
+    return {"F4": helvetica_font_obj(embed_widths=False)}
+
+
+def scenario_pdf_helvetica_screenplay() -> List[str]:
+    """A Helvetica screenplay with NO embedded /Widths: every x/width
+    comes from the internal standard-14 AFM tables, so this golden
+    pins the proportional-metrics path through the whole engine."""
+    f = {"font": "F4"}
+    page1 = [(72, 108, "INT. LOBBY - DAY", f)]
+    top = 96
+    for k in range(10):
+        page1.append((top, 108,
+                      f"Filler action line {k} with plenty of words to "
+                      f"exceed the fly-page caps.", f))
+        top += 24
+    page1 += [
+        (top, 280, "HERO", f),
+        (top + 12, 230, "(smiling)", f),
+        (top + 24, 180, "Proportional metrics shape every indent.", f),
+        (top + 48, 430, "CUT TO:", f),
+    ]
+    page2 = [(72, 108, "EXT. STREET - NIGHT", f),
+             (96, 108, "The hero walks into proportional rain.", f)]
+    return _pdf_xml([page1, page2], extra_fonts=_helv_fonts())
+
+
+def scenario_pdf_multicolumn_dual() -> List[str]:
+    """Dual-dialog two-column PDF in Helvetica: the character line
+    must SPLIT on the 12-space rule (JANE right edge 280+30.672 →
+    gap to MARK at 440 = 18 spaces) while the dialogue rows stay ONE
+    block (gaps 6 and 3 spaces from the proportional right edges
+    343.404/367.428 to the 390 column) so the dual-dialog
+    reconstruction's 3..9-space column search does the splitting —
+    the same regime real dual-dialog PDFs produce."""
+    f = {"font": "F4"}
+    page1 = [(72, 108, "INT. HALL - DAY", f)]
+    top = 96
+    for k in range(11):
+        page1.append((top, 108,
+                      f"Filler action line {k} with plenty of words to "
+                      f"exceed the fly-page caps.", f))
+        top += 24
+    page1 += [(top, 280, "JANE", f), (top, 440, "MARK", f)]
+    top += 12
+    for left_txt, right_txt in [
+            ("I hold the left side with my line.",
+             "And my words answer from the right."),
+            ("My second left line keeps going on.",
+             "My second right line keeps pace too.")]:
+        page1 += [(top, 180, left_txt, f), (top, 390, right_txt, f)]
+        top += 12
+    top += 12
+    page1.append((top, 108, "They finish speaking together.", f))
+    page2 = [(72, 108, "EXT. GARDEN - DAY", f),
+             (96, 108, "Columns collapse back into one stream.", f)]
+    return _pdf_xml([page1, page2], extra_fonts=_helv_fonts())
+
+
+def scenario_pdf_revision_colored() -> List[str]:
+    """Revisions-colored PDF: two key pages (header name + one known
+    revision color each), the second page re-using the first page's
+    color so the weight-list insert-before reordering fires
+    (Parser.php:239-486 semantics via engine/postpass.py)."""
+    blue, pink = {"color": (0, 0, 1)}, {"color": (1, 0, 1)}
+    page1 = [(30, 108, "Blue Revision Draft"),
+             (72, 108, "INT. ARCHIVE - DAY")]
+    top = 96
+    for k in range(10):
+        page1.append((top, 108,
+                      f"Archive filler action line {k} with words to "
+                      f"defeat the title page."))
+        top += 24
+    page1.append((top, 108, "A changed line in the blue pass.", blue))
+    page2 = [(30, 108, "Pink Revision Draft"),
+             (72, 108, "EXT. COURTYARD - DAY"),
+             (96, 108, "Plain action between the colored passes."),
+             (120, 108, "A newer change in the pink pass.", pink),
+             (144, 108, "An older blue change surviving here.", blue)]
+    return _pdf_xml([page1, page2])
+
+
 SCENARIOS: Dict[str, List[str]] = {
     "dual_multiline_columns": scenario_dual_multiline_columns(),
     "dual_paren_column": scenario_dual_paren_column(),
@@ -152,6 +246,9 @@ SCENARIOS: Dict[str, List[str]] = {
     "orphan_trailing_characters": scenario_orphan_trailing_characters(),
     "tight_fragments_concatenate": scenario_tight_fragments_concatenate(),
     "transition_backprop": scenario_transition_backprop(),
+    "pdf_helvetica_screenplay": scenario_pdf_helvetica_screenplay(),
+    "pdf_multicolumn_dual": scenario_pdf_multicolumn_dual(),
+    "pdf_revision_colored": scenario_pdf_revision_colored(),
 }
 
 

@@ -27,3 +27,17 @@ def test_scenario_matches_golden(name):
 
 def test_golden_covers_all_scenarios():
     assert set(GOLDEN) == set(SCENARIOS)
+
+
+def test_revision_colored_pdf_revisions_pinned():
+    """The span golden can't see revision metadata, so pin the
+    revisions list of the colored real-PDF scenario directly: two key
+    pages, weight order blue-then-pink, hex colors from the content
+    stream's rg operators (Parser.php:239-486 semantics)."""
+    from ray_script_extract.engine.pdfdoc import convert_pdf_xml_document
+
+    doc = convert_pdf_xml_document(SCENARIOS["pdf_revision_colored"])
+    assert doc["revisions"] == [
+        {"name": "Blue Revision Draft", "color": "#0000ff"},
+        {"name": "Pink Revision Draft", "color": "#ff00ff"},
+    ]
