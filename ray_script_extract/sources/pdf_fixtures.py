@@ -24,6 +24,8 @@ def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
     parts = ["BT", f"/F1 {SIZE_PT} Tf"]
     cur_font = "F1"
     cur_color = None
+    cur_tc = cur_tw = 0.0
+    cur_tz = 100.0
     for line in lines:
         top, left, text = line[0], line[1], line[2]
         opts = line[3] if len(line) > 3 else {}
@@ -31,6 +33,20 @@ def page_content(lines: Sequence[Tuple], page_h: int = 792) -> bytes:
         if font != cur_font:
             parts.append(f"/{font} {SIZE_PT} Tf")
             cur_font = font
+        # text-state spacing (Tc/Tw/Tz): persistent state, so emit
+        # only on change — including the reset back to 0 / 100
+        tc = float(opts.get("char_spacing", 0.0))
+        tw = float(opts.get("word_spacing", 0.0))
+        tz = float(opts.get("hscale", 100.0))
+        if tc != cur_tc:
+            parts.append(f"{tc:g} Tc")
+            cur_tc = tc
+        if tw != cur_tw:
+            parts.append(f"{tw:g} Tw")
+            cur_tw = tw
+        if tz != cur_tz:
+            parts.append(f"{tz:g} Tz")
+            cur_tz = tz
         color = opts.get("color")
         if color != cur_color:
             if color is None:

@@ -31,7 +31,10 @@ Supported subset (matches FIXTURES.md §4):
 * page tree traversal with /Kids recursion and /MediaBox /Resources
   inheritance (multi-level trees exercised by fixtures);
 * content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
-  numbers), ' — with the text matrix tracked; fill-color operators
+  numbers), ', " and the text-state spacing Tc / Tw / Tz (spec 9.4.4
+  advance: ((w0/1000)·Tfs + Tc + Tw·is_space)·Th, saved/restored by
+  q/Q — justified word-processor PDFs lean on Tw/Tc) — with the text
+  matrix tracked; fill-color operators
   rg / g / k / sc / scn (component-count heuristic for scn) feed the
   emitted ``<fontspec color>`` so Colors_List revision inference
   (``ParseText.php:691-989``) fires from raw PDFs;
@@ -1050,7 +1053,12 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
     # minimal CTM (scale + translate; skew ignored): real PDFs often
     # flip the device space with `1 0 0 -1 0 H cm`
     ctm = [1.0, 1.0, 0.0, 0.0]  # sx, sy, tx0, ty0
-    ctm_stack: List[List[float]] = []
+    ctm_stack: List[tuple] = []
+    # text-state spacing (spec 9.3): graphics-state params, persist
+    # across BT/ET, saved/restored by q/Q
+    char_spacing = 0.0   # Tc
+    word_spacing = 0.0   # Tw
+    hscale = 1.0         # Tz / 100
 
     fill_color = "#000000"
 
@@ -1074,9 +1082,17 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         if font is None or not raw:
             return
         text = font.decode(raw)
-        # abs(): PDFs with a flipped device matrix use negative Tm/CTM
-        # scale components; glyph box size/advance are magnitudes
-        text_adv = font.advance_units(raw) / 1000.0 * size * abs(scale_x)
+        # Advance per spec 9.4.4: ((w0/1000)·Tfs + Tc + Tw·is_space)·Th
+        # — char spacing applies per shown code, word spacing only to
+        # single-byte code 32 (never 2-byte CID codes), horizontal
+        # scaling multiplies the whole displacement.  Justified text
+        # from word processors leans on Tw/Tc, so dropping them would
+        # misplace every following fragment on the line.
+        n_codes = (len(raw) // 2) if font.cid else len(raw)
+        n_spaces = 0 if font.cid else raw.count(0x20)
+        text_adv = (font.advance_units(raw) / 1000.0 * size
+                    + n_codes * char_spacing
+                    + n_spaces * word_spacing) * hscale * abs(scale_x)
         dev_x = ctm[0] * tx + ctm[2]
         dev_y = ctm[1] * ty + ctm[3]
         # dev_y is bottom-up PDF device space either way: a flipped CTM
@@ -1098,6 +1114,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         derail the tokenizer)."""
         nonlocal font, font_key, size, leading, tx, ty, line_x, line_y
         nonlocal scale_x, scale_y, ctm, fill_color
+        nonlocal char_spacing, word_spacing, hscale
         lex = _Lexer(data)
         stack: List = []
         while True:
@@ -1145,7 +1162,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                         and doc.resolve(xo.dict.get("/Subtype")) == "/Form"):
                     saved = (font, font_key, size, leading, tx, ty,
                              line_x, line_y, scale_x, scale_y,
-                             list(ctm), fill_color)
+                             list(ctm), fill_color, char_spacing,
+                             word_spacing, hscale)
                     matrix = doc.resolve(xo.dict.get("/Matrix"))
                     if isinstance(matrix, list) and len(matrix) == 6:
                         a, _b, _c, d, e, f = (float(doc.resolve(v))
@@ -1165,18 +1183,20 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                         body = b""
                     exec_content(body, xfonts, xxobj, depth + 1)
                     (font, font_key, size, leading, tx, ty, line_x,
-                     line_y, scale_x, scale_y, ctm,
-                     fill_color) = saved
+                     line_y, scale_x, scale_y, ctm, fill_color,
+                     char_spacing, word_spacing, hscale) = saved
             elif op == b"cm" and len(stack) >= 6:
                 a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
                 # compose scale+translate (skew components ignored)
                 ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
                        ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
             elif op == b"q":
-                ctm_stack.append(list(ctm))
+                ctm_stack.append((list(ctm), char_spacing,
+                                  word_spacing, hscale))
             elif op == b"Q":
                 if ctm_stack:
-                    ctm = ctm_stack.pop()
+                    (ctm, char_spacing, word_spacing,
+                     hscale) = ctm_stack.pop()
             elif op == b"BT":
                 tx = ty = line_x = line_y = 0.0
                 stack.clear()
@@ -1198,6 +1218,12 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 tx, ty = line_x, line_y
             elif op == b"TL" and len(stack) >= 1:
                 leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                char_spacing = float(stack[-1])
+            elif op == b"Tw" and stack:
+                word_spacing = float(stack[-1])
+            elif op == b"Tz" and stack:
+                hscale = float(stack[-1]) / 100.0
             elif op == b"Tm" and len(stack) >= 6:
                 a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
                 scale_x, scale_y = (a or 1.0), (d or 1.0)
@@ -1212,12 +1238,23 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 line_y -= leading
                 tx, ty = line_x, line_y
                 show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
+            elif op == b'"' and len(stack) >= 3:
+                # aw ac string ": set word + char spacing, then act
+                # like ' (next line + show) — spec table 109
+                word_spacing = float(stack[-3])
+                char_spacing = float(stack[-2])
+                line_y -= leading
+                tx, ty = line_x, line_y
+                show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for item in stack[-1]:
                     if isinstance(item, (bytes, bytearray)):
                         show(bytes(item))
                     elif isinstance(item, (int, float)):
-                        tx -= float(item) / 1000.0 * size * scale_x
+                        # spec 9.4.3: the number translates by
+                        # -n/1000·Tfs·Th
+                        tx -= float(item) / 1000.0 * size \
+                            * hscale * scale_x
             # fill-color operators (stroke variants ignored — text
             # renders with the fill color); scn components may include
             # a trailing pattern name, so keep only numerics
