@@ -300,8 +300,20 @@ def run_scaling() -> None:
             code = _CHILD_SNIPPET.format(repo=repo, cpus=cpus,
                                          corpus_dir=corpus_dir,
                                          blocks=max(32, n_docs // 200))
-            out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, text=True, check=True)
+            # one retry per sample: a co-tenant spike can kill a
+            # child's raylet; surface its stderr either way so a
+            # failed window is diagnosable, not a bare non-zero exit
+            for attempt in (1, 2):
+                out = subprocess.run([sys.executable, "-c", code],
+                                     capture_output=True, text=True)
+                if out.returncode == 0:
+                    break
+                sys.stderr.write(
+                    f"[scaling] child cpus={cpus} attempt {attempt} "
+                    f"failed (rc={out.returncode}):\n"
+                    + "\n".join(out.stderr.splitlines()[-15:]) + "\n")
+            else:
+                raise RuntimeError(f"scaling child cpus={cpus} failed twice")
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)

@@ -262,6 +262,58 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# The bloom variant is ALSO exactly SQL-checkable: the filter is
+# deterministic (md5 shingle hash, then Kirsch–Mitzenmacher double
+# hashing in pure uint64 arithmetic), so DuckDB can rebuild the exact
+# bitmap membership with HUGEINT wraparound math — (h*C) % 2^64 —
+# and flag exactly the docs the distributed probe flags, INCLUDING
+# any false positives.  C1/C2/shift/m values must mirror
+# ``_bloom_positions`` verbatim.
+DECONTAM_BLOOM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+h AS (
+  SELECT doc_id, CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h FROM sh
+),
+hh AS (
+  SELECT DISTINCT h,
+    CAST(((CAST(h AS HUGEINT) * 11400714819323198485)
+          % 18446744073709551616) // 2048 AS BIGINT) AS h1,
+    CAST(((CAST(h AS HUGEINT) * 14029467366897019727)
+          % 18446744073709551616) // 128 AS BIGINT) AS h2r
+  FROM h
+),
+pos AS (
+  SELECT h, i, (h1 + i * (h2r - (h2r % 2) + 1)) % 8388608 AS p
+  FROM hh, (SELECT unnest(range(0, 4)) AS i)
+),
+bench_bits AS (
+  SELECT DISTINCT p FROM pos
+  WHERE h IN (SELECT DISTINCT h FROM h WHERE doc_id % 20 = 0)
+),
+train AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id % 20 <> 0),
+hit AS (
+  SELECT t.doc_id, t.h
+  FROM train t JOIN pos USING (h)
+  GROUP BY t.doc_id, t.h
+  HAVING COUNT(*) = SUM(CASE WHEN p IN (SELECT p FROM bench_bits)
+                             THEN 1 ELSE 0 END)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+FROM hit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter variant: bounded-memory membership
 # ---------------------------------------------------------------------------

@@ -2611,12 +2611,15 @@ ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL
 ORACLE_SQL["users_per_event_type"] = USERS_PER_EVENT_TYPE_SQL
 ORACLE_SQL["filter_length_band"] = FILTER_LENGTH_BAND_SQL
 
-from .decontam import decontaminate_bloom  # noqa: E402
+from .decontam import DECONTAM_BLOOM_SQL, decontaminate_bloom  # noqa: E402
 
-# rows-only: a bloom bitmap is not SQL-expressible; the no-false-
-# negative superset property vs the exact twin is pinned in
-# tests/test_decontam.py
+# exact oracle (round 5): the bitmap is deterministic md5 +
+# Kirsch-Mitzenmacher uint64 double hashing, which DuckDB replicates
+# bit-for-bit with HUGEINT wraparound math — the oracle flags the
+# SAME docs including false positives; the no-false-negative superset
+# property additionally stays pinned in tests/test_decontam.py
 QUERIES["decontaminate_bloom"] = decontaminate_bloom
+ORACLE_SQL["decontaminate_bloom"] = DECONTAM_BLOOM_SQL
 
 
 def customer_urgent_counts(sf_dir: str):

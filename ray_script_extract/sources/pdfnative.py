@@ -31,10 +31,10 @@ Supported subset (matches FIXTURES.md §4):
 * page tree traversal with /Kids recursion and /MediaBox /Resources
   inheritance (multi-level trees exercised by fixtures);
 * content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
-  numbers), ', " and the text-state spacing Tc / Tw / Tz (spec 9.4.4
-  advance: ((w0/1000)·Tfs + Tc + Tw·is_space)·Th, saved/restored by
-  q/Q — justified word-processor PDFs lean on Tw/Tc) — with the text
-  matrix tracked; fill-color operators
+  numbers), ', " and the text-state Tc / Tw / Tz / Ts (spec 9.4.4
+  advance: ((w0/1000)·Tfs + Tc + Tw·is_space)·Th, rise shifting the
+  baseline, all saved/restored by q/Q — justified word-processor PDFs
+  lean on Tw/Tc) — with the text matrix tracked; fill-color operators
   rg / g / k / sc / scn (component-count heuristic for scn) feed the
   emitted ``<fontspec color>`` so Colors_List revision inference
   (``ParseText.php:691-989``) fires from raw PDFs;
@@ -48,7 +48,10 @@ Supported subset (matches FIXTURES.md §4):
   Helvetica/Times tables (incl. Bold/Italic faces and Arial/
   TimesNewRoman aliases — ``_std14_widths``) so no-/Widths PDFs
   segment like poppler; ToUnicode bfchar CMaps (hex) for decode;
-* WinAnsi/latin-1 byte decode otherwise.
+* simple-font base encodings: /WinAnsiEncoding (cp1252 — curly
+  quotes / dashes in 0x80-0x9F, the range Word writers use) and
+  /MacRomanEncoding, with /Differences remapping on top;
+  latin-1 byte decode otherwise.
 
 Coordinate convention (documented assumption, poppler unavailable in
 this sandbox): at zoom 1, ``top = page_height - ty - font_size_px``
@@ -62,6 +65,7 @@ from __future__ import annotations
 import math
 import re
 import zlib
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 from xml.sax.saxutils import escape
 
@@ -803,6 +807,28 @@ _CJK_CMAP_CODECS = [
 ]
 
 
+@lru_cache(maxsize=4)
+def _simple_encoding_table(enc_name: str) -> Optional[tuple]:
+    """256-entry decode table for a simple-font base encoding.  Word
+    processors emit /WinAnsiEncoding (cp1252) whose 0x80-0x9F range
+    carries curly quotes / en-em dashes — latin-1 would decode those
+    to C1 controls, and the reference's CONT'D white-out explicitly
+    matches curly quotes (Blocks white_out family).  cp1252's five
+    undefined bytes fall back to their latin-1 char, matching
+    poppler's lenient table."""
+    codec = {"/WinAnsiEncoding": "cp1252",
+             "/MacRomanEncoding": "mac_roman"}.get(enc_name)
+    if codec is None:
+        return None
+    table = []
+    for c in range(256):
+        try:
+            table.append(bytes([c]).decode(codec))
+        except UnicodeDecodeError:
+            table.append(chr(c))
+    return tuple(table)
+
+
 class _Font:
     def __init__(self, doc: PdfDocument, font_dict: Dict) -> None:
         self.base = doc.resolve(font_dict.get("/BaseFont")) or "/Courier"
@@ -814,6 +840,13 @@ class _Font:
         # unicode (ToUnicode wins when both exist, per spec precedence)
         self.diff_map: Dict[int, str] = {}
         enc = doc.resolve(font_dict.get("/Encoding"))
+        # base encoding: a bare name, or /BaseEncoding inside an
+        # encoding dict (the /Differences then remap on top of it)
+        base_enc = enc if isinstance(enc, str) else (
+            doc.resolve(enc.get("/BaseEncoding"))
+            if isinstance(enc, dict) else None)
+        self.enc_table = (_simple_encoding_table(base_enc)
+                          if isinstance(base_enc, str) else None)
         if isinstance(enc, dict):
             diffs = doc.resolve(enc.get("/Differences"))
             if isinstance(diffs, list):
@@ -958,9 +991,19 @@ class _Font:
             return raw.decode(self.cid_codec, "ignore")
         if self.cid:
             return "".join(chr(c) for c in codes)
-        if self.diff_map:
-            return "".join(self.diff_map.get(c, chr(c)) for c in codes)
+        if self.diff_map or self.enc_table:
+            return "".join(map(self._char_of, codes))
         return raw.decode("latin-1")
+
+    def _char_of(self, code: int) -> str:
+        """Simple-font code → char: /Differences first, then the base
+        encoding table (WinAnsi/MacRoman), then latin-1."""
+        ch = self.diff_map.get(code)
+        if ch is not None:
+            return ch
+        if self.enc_table is not None:
+            return self.enc_table[code]
+        return chr(code)
 
     def advance_units(self, raw: bytes) -> float:
         if self.cid and self.cid_codec:
@@ -985,11 +1028,11 @@ class _Font:
                     total += _COURIER_WIDTH
             return total
         if self.std14 is not None:
-            # resolve through /Differences so a remapped code advances
-            # by its actual glyph; unmapped glyphs fall back to 600
+            # resolve through /Differences + the base encoding so a
+            # remapped code advances by its actual glyph; glyphs
+            # outside the table fall back to 600
             return float(sum(
-                self.std14.get(self.diff_map.get(c, chr(c)),
-                               _COURIER_WIDTH)
+                self.std14.get(self._char_of(c), _COURIER_WIDTH)
                 for c in codes))
         return _COURIER_WIDTH * len(codes)
 
@@ -1059,6 +1102,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
     char_spacing = 0.0   # Tc
     word_spacing = 0.0   # Tw
     hscale = 1.0         # Tz / 100
+    rise = 0.0           # Ts
 
     fill_color = "#000000"
 
@@ -1094,7 +1138,10 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                     + n_codes * char_spacing
                     + n_spaces * word_spacing) * hscale * abs(scale_x)
         dev_x = ctm[0] * tx + ctm[2]
-        dev_y = ctm[1] * ty + ctm[3]
+        # Ts rise shifts the baseline in unscaled text space (spec
+        # 9.3.7) — a superscript footnote marker must not drag its
+        # fragment onto the neighbouring bucketed line
+        dev_y = ctm[1] * (ty + rise * abs(scale_y)) + ctm[3]
         # dev_y is bottom-up PDF device space either way: a flipped CTM
         # (`1 0 0 -1 0 H cm`) combined with the flipped Tm such PDFs
         # use cancels out, so the uniform top = H - y - size emission
@@ -1114,7 +1161,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         derail the tokenizer)."""
         nonlocal font, font_key, size, leading, tx, ty, line_x, line_y
         nonlocal scale_x, scale_y, ctm, fill_color
-        nonlocal char_spacing, word_spacing, hscale
+        nonlocal char_spacing, word_spacing, hscale, rise
         lex = _Lexer(data)
         stack: List = []
         while True:
@@ -1163,7 +1210,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                     saved = (font, font_key, size, leading, tx, ty,
                              line_x, line_y, scale_x, scale_y,
                              list(ctm), fill_color, char_spacing,
-                             word_spacing, hscale)
+                             word_spacing, hscale, rise)
                     matrix = doc.resolve(xo.dict.get("/Matrix"))
                     if isinstance(matrix, list) and len(matrix) == 6:
                         a, _b, _c, d, e, f = (float(doc.resolve(v))
@@ -1184,7 +1231,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                     exec_content(body, xfonts, xxobj, depth + 1)
                     (font, font_key, size, leading, tx, ty, line_x,
                      line_y, scale_x, scale_y, ctm, fill_color,
-                     char_spacing, word_spacing, hscale) = saved
+                     char_spacing, word_spacing, hscale, rise) = saved
             elif op == b"cm" and len(stack) >= 6:
                 a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
                 # compose scale+translate (skew components ignored)
@@ -1192,11 +1239,11 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                        ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
             elif op == b"q":
                 ctm_stack.append((list(ctm), char_spacing,
-                                  word_spacing, hscale))
+                                  word_spacing, hscale, rise))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, char_spacing, word_spacing,
-                     hscale) = ctm_stack.pop()
+                     hscale, rise) = ctm_stack.pop()
             elif op == b"BT":
                 tx = ty = line_x = line_y = 0.0
                 stack.clear()
@@ -1224,6 +1271,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 word_spacing = float(stack[-1])
             elif op == b"Tz" and stack:
                 hscale = float(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                rise = float(stack[-1])
             elif op == b"Tm" and len(stack) >= 6:
                 a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
                 scale_x, scale_y = (a or 1.0), (d or 1.0)

@@ -128,6 +128,22 @@ def _pdf_with_content(content: bytes) -> bytes:
     return bytes(out)
 
 
+def test_text_rise_shifts_baseline():
+    """Ts shifts the baseline in text space: a +4 superscript at Tm
+    y=704 renders at y=708 -> top = 792-708-16 = 68 (vs 72 unrisen);
+    the x advance is untouched."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 100 704 Tm (base) Tj "
+               b"4 Ts (sup) Tj 0 Ts (tail) Tj ET")
+    rows = _text_attrs(pdf_to_page_xml(_pdf_with_content(content))[0])
+    by_text = {t["text"]: t for t in rows}
+    assert by_text["base"]["top"] == "72"
+    assert by_text["sup"]["top"] == "68"
+    assert by_text["tail"]["top"] == "72"
+    # advance unaffected by rise: base(4 codes)=28.8 -> x 128.8,
+    # sup(3)=21.6 -> tail at 100+28.8+21.6=150.4 -> left 150
+    assert by_text["tail"]["left"] == "150"
+
+
 def test_q_restore_resets_spacing():
     """Tc set inside q..Q must not leak: after Q the advance reverts
     to plain Courier metrics."""
