@@ -74,6 +74,12 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
 _XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+# lexer token patterns, compiled once and matched AT a position
+# (pattern.match(data, pos)) so no per-token buffer slice happens
+_RE_REF = re.compile(rb"[+-]?\d+\s+\d+\s+R\b")
+_RE_NUM = re.compile(rb"[+-]?(\d+\.\d*|\.\d+|\d+)")
+_RE_KW = re.compile(rb"[A-Za-z'\"*]+")
+_RE_EI = re.compile(rb"\bEI\b")
 
 
 class Ref:
@@ -142,21 +148,23 @@ class _Lexer:
             return self._parse_hex_string()
         if c == 0x5B:  # '['
             return self._parse_array()
-        # number / ref / keyword
-        m = re.match(rb"[+-]?\d+\s+\d+\s+R\b", data[self.pos:])
+        # number / ref / keyword — position-anchored compiled matches:
+        # a `data[self.pos:]` slice here would copy the remaining
+        # buffer per token, turning content-stream lexing O(n^2)
+        m = _RE_REF.match(data, self.pos)
         if m:
             num = int(m.group(0).split()[0])
-            self.pos += m.end()
+            self.pos = m.end()
             return Ref(num)
-        m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", data[self.pos:])
+        m = _RE_NUM.match(data, self.pos)
         if m:
             tok = m.group(0)
-            self.pos += len(tok)
+            self.pos = m.end()
             return float(tok) if b"." in tok else int(tok)
-        m = re.match(rb"[A-Za-z'\"*]+", data[self.pos:])
+        m = _RE_KW.match(data, self.pos)
         if m:
             kw = m.group(0)
-            self.pos += len(kw)
+            self.pos = m.end()
             if kw == b"true":
                 return True
             if kw == b"false":
@@ -174,10 +182,10 @@ class _Lexer:
         while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
             self.pos += 1
         raw = data[start:self.pos]
-        # #xx escapes
-        out = re.sub(rb"#([0-9A-Fa-f]{2})",
-                     lambda m: bytes([int(m.group(1), 16)]), raw)
-        return "/" + out.decode("latin-1")
+        if b"#" in raw:  # #xx escapes (rare — skip the sub otherwise)
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                         lambda m: bytes([int(m.group(1), 16)]), raw)
+        return "/" + raw.decode("latin-1")
 
     def _parse_literal_string(self) -> bytes:
         self.pos += 1
@@ -1174,8 +1182,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
             op = obj.name
             if op == b"BI":
                 # inline image: raw sample bytes follow ID … EI
-                m = re.search(rb"\bEI\b", lex.data[lex.pos:])
-                lex.pos = (lex.pos + m.end()) if m else len(lex.data)
+                m = _RE_EI.search(lex.data, lex.pos)
+                lex.pos = m.end() if m else len(lex.data)
             elif op == b"Do" and stack:
                 name = stack[-1]
                 xo = doc.resolve(xobjects.get(name)) \
