@@ -80,6 +80,7 @@ _RE_REF = re.compile(rb"[+-]?\d+\s+\d+\s+R\b")
 _RE_NUM = re.compile(rb"[+-]?(\d+\.\d*|\.\d+|\d+)")
 _RE_KW = re.compile(rb"[A-Za-z'\"*]+")
 _RE_EI = re.compile(rb"\bEI\b")
+_RE_STR_PLAIN = re.compile(rb"[^\\()]+")
 
 
 class Ref:
@@ -193,6 +194,15 @@ class _Lexer:
         depth = 1
         data, n = self.data, len(self.data)
         while self.pos < n:
+            # bulk-copy the run up to the next special byte — text
+            # strings are mostly plain, so the per-char loop below
+            # should only ever see \\ ( )
+            m = _RE_STR_PLAIN.match(data, self.pos)
+            if m:
+                out += m.group(0)
+                self.pos = m.end()
+                if self.pos >= n:
+                    break
             c = data[self.pos]
             if c == 0x5C:  # backslash
                 self.pos += 1
