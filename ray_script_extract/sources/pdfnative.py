@@ -29,7 +29,14 @@ Supported subset (matches FIXTURES.md §4):
   payload is self-describing and the perceptual pipeline can decode
   it — the raw MMR bitstream alone carries no dimensions;
 * page tree traversal with /Kids recursion and /MediaBox /Resources
-  inheritance (multi-level trees exercised by fixtures);
+  /Rotate inheritance (multi-level trees exercised by fixtures);
+* FULL affine text/CTM matrices (rotation + skew components tracked,
+  not just translate+scale) and page /Rotate applied as the display
+  rotation poppler uses — so a scanned-then-OCR'd page (/Rotate 90 +
+  canceling rotated Tm) extracts horizontal lines identical to its
+  unrotated twin (``tests/test_pdf_rotation.py``); text rotated
+  relative to the display emits its horizontal footprint (documented
+  approximation — the pdftohtml XML model has no orientation);
 * content streams: BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (kerning
   numbers), ', " and the text-state Tc / Tw / Tz / Ts (spec 9.4.4
   advance: ((w0/1000)·Tfs + Tc + Tw·is_space)·Th, rise shifting the
@@ -1075,12 +1082,55 @@ class _TextRun:
         self.italic = italic
 
 
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """m1 then m2 under PDF's row-vector convention
+    ([x y 1]·M, spec 8.3.4): the result applies m1 first."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+
+
+def _mat_apply(m, x, y):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+def _mat_translate(dx, dy, m):
+    """translate(dx,dy) × m — the only multiply the text hot path
+    (Td/T*/TJ/show advance) ever needs; avoids the general 6×6."""
+    return (m[0], m[1], m[2], m[3],
+            dx * m[0] + dy * m[2] + m[4],
+            dx * m[1] + dy * m[3] + m[5])
+
+
+def _rotate_ctm(rot: int, w: float, h: float):
+    """Initial device CTM + display page dims for /Rotate (clockwise
+    display rotation, spec 7.7.3.3): content (x, y) bottom-up →
+    display (x', y') bottom-up with swapped dims for 90/270 —
+    poppler applies the same page-level rotation before text
+    extraction, so a scanned page whose text matrix rotation cancels
+    /Rotate reads horizontally again."""
+    if rot == 90:
+        return (0.0, -1.0, 1.0, 0.0, 0.0, w), h, w
+    if rot == 180:
+        return (-1.0, 0.0, 0.0, -1.0, w, h), w, h
+    if rot == 270:
+        return (0.0, 1.0, -1.0, 0.0, h, 0.0), h, w
+    return _MAT_ID, w, h
+
+
 def _extract_page_runs(doc: PdfDocument, page: Dict
                        ) -> Tuple[List[_TextRun], List[Dict], float, float]:
     media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("/MediaBox"))
                                              or [0, 0, 612, 792])]
-    page_w = media[2] - media[0]
-    page_h = media[3] - media[1]
+    rot = int(doc.resolve(page.get("/Rotate")) or 0) % 360
+    base_ctm, page_w, page_h = _rotate_ctm(
+        rot if rot in (90, 180, 270) else 0,
+        media[2] - media[0], media[3] - media[1])
     resources = doc.resolve(page.get("/Resources")) or {}
 
     def load_resources(res: Dict) -> Tuple[Dict, Dict]:
@@ -1106,14 +1156,14 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
     font_key = ""
     size = 12.0
     leading = 0.0
-    # text line matrix origin (tx, ty); full matrix support limited to
-    # translation + scale via Tm (a,d used as scale on size/advance)
-    tx = ty = 0.0
-    line_x = line_y = 0.0
-    scale_x = scale_y = 1.0
-    # minimal CTM (scale + translate; skew ignored): real PDFs often
-    # flip the device space with `1 0 0 -1 0 H cm`
-    ctm = [1.0, 1.0, 0.0, 0.0]  # sx, sy, tx0, ty0
+    # FULL affine text matrices (spec 9.4.2): tm = current text
+    # matrix, tlm = text line matrix; rotation/skew components are
+    # tracked so rotated pages (/Rotate × rotated Tm, the scanned-OCR
+    # shape) land axis-aligned in display space
+    tm = tlm = _MAT_ID
+    # full affine CTM, pre-composed with the /Rotate display rotation;
+    # real PDFs often flip the device space with `1 0 0 -1 0 H cm`
+    ctm = base_ctm
     ctm_stack: List[tuple] = []
     # text-state spacing (spec 9.3): graphics-state params, persist
     # across BT/ET, saved/restored by q/Q
@@ -1140,7 +1190,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         return "#000000"
 
     def show(raw: bytes, adjust: float = 0.0) -> None:
-        nonlocal tx
+        nonlocal tm
         if font is None or not raw:
             return
         text = font.decode(raw)
@@ -1154,22 +1204,41 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         n_spaces = 0 if font.cid else raw.count(0x20)
         text_adv = (font.advance_units(raw) / 1000.0 * size
                     + n_codes * char_spacing
-                    + n_spaces * word_spacing) * hscale * abs(scale_x)
-        dev_x = ctm[0] * tx + ctm[2]
+                    + n_spaces * word_spacing) * hscale
+        m = _mat_mul(tm, ctm)
         # Ts rise shifts the baseline in unscaled text space (spec
         # 9.3.7) — a superscript footnote marker must not drag its
         # fragment onto the neighbouring bucketed line
-        dev_y = ctm[1] * (ty + rise * abs(scale_y)) + ctm[3]
-        # dev_y is bottom-up PDF device space either way: a flipped CTM
-        # (`1 0 0 -1 0 H cm`) combined with the flipped Tm such PDFs
-        # use cancels out, so the uniform top = H - y - size emission
-        # holds for both authored fixtures and real-world flipped PDFs
-        runs.append(_TextRun(dev_x, dev_y, text_adv * abs(ctm[0]),
-                             size * abs(scale_y * ctm[1]), text,
+        ox, oy = _mat_apply(m, 0.0, rise)
+        advx = text_adv * m[0]
+        advy = text_adv * m[1]
+        if abs(advy) <= 1e-9 + 1e-6 * abs(advx):
+            # axis-aligned horizontal in DISPLAY space (identity,
+            # flipped, or rotation canceled by /Rotate): the emitted
+            # (x, baseline-y, width) convention matches pdftohtml —
+            # a flipped CTM combined with the flipped Tm such PDFs
+            # use cancels, so top = H - y - size holds throughout
+            dev_x = min(ox, ox + advx)
+            dev_y = oy
+            width = abs(advx)
+        else:
+            # text rotated relative to the display (rare non-canceling
+            # case): emit the glyph box's horizontal footprint at the
+            # baseline origin — a documented approximation; vertical
+            # text has no faithful <text> representation in the
+            # pdftohtml XML model
+            szx = size * m[2]
+            xs = (ox, ox + advx, ox + szx, ox + advx + szx)
+            dev_x = min(xs)
+            dev_y = min(oy, oy + advy)
+            width = max(xs) - dev_x
+        runs.append(_TextRun(dev_x, dev_y, width,
+                             size * abs(m[3]) if abs(m[3]) > 1e-9
+                             else size * abs(m[2]), text,
                              f"{font_key}:{fill_color}",
                              font.family, fill_color,
                              font.bold, font.italic))
-        tx += text_adv
+        tm = _mat_translate(text_adv, 0.0, tm)
 
     def exec_content(data: bytes, fonts: Dict, xobjects: Dict,
                      depth: int) -> None:
@@ -1177,8 +1246,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         (``Do``) with the graphics state saved/restored per spec, and
         skips inline images (``BI … EI`` carry raw binary that would
         derail the tokenizer)."""
-        nonlocal font, font_key, size, leading, tx, ty, line_x, line_y
-        nonlocal scale_x, scale_y, ctm, fill_color
+        nonlocal font, font_key, size, leading, tm, tlm
+        nonlocal ctm, fill_color
         nonlocal char_spacing, word_spacing, hscale, rise
         lex = _Lexer(data)
         stack: List = []
@@ -1220,21 +1289,22 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                                      or 0),
                         "height": int(doc.resolve(xo.dict.get("/Height"))
                                       or 0),
-                        "top": round(page_h - ctm[3] - abs(ctm[1])),
-                        "left": round(ctm[2]),
+                        # image paints the CTM-mapped unit square:
+                        # bbox from its transformed corners
+                        "top": round(page_h - max(
+                            ctm[5], ctm[1] + ctm[3] + ctm[5])),
+                        "left": round(min(
+                            ctm[4], ctm[0] + ctm[2] + ctm[4])),
                     })
                 elif (depth < 8 and isinstance(xo, Stream)
                         and doc.resolve(xo.dict.get("/Subtype")) == "/Form"):
-                    saved = (font, font_key, size, leading, tx, ty,
-                             line_x, line_y, scale_x, scale_y,
-                             list(ctm), fill_color, char_spacing,
+                    saved = (font, font_key, size, leading, tm, tlm,
+                             ctm, fill_color, char_spacing,
                              word_spacing, hscale, rise)
                     matrix = doc.resolve(xo.dict.get("/Matrix"))
                     if isinstance(matrix, list) and len(matrix) == 6:
-                        a, _b, _c, d, e, f = (float(doc.resolve(v))
-                                              for v in matrix)
-                        ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
-                               ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
+                        ctm = _mat_mul(tuple(
+                            float(doc.resolve(v)) for v in matrix), ctm)
                     xres = doc.resolve(xo.dict.get("/Resources"))
                     if isinstance(xres, dict):
                         xfonts, xxobj = load_resources(xres)
@@ -1247,23 +1317,20 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                     except Exception:
                         body = b""
                     exec_content(body, xfonts, xxobj, depth + 1)
-                    (font, font_key, size, leading, tx, ty, line_x,
-                     line_y, scale_x, scale_y, ctm, fill_color,
+                    (font, font_key, size, leading, tm, tlm,
+                     ctm, fill_color,
                      char_spacing, word_spacing, hscale, rise) = saved
             elif op == b"cm" and len(stack) >= 6:
-                a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
-                # compose scale+translate (skew components ignored)
-                ctm = [ctm[0] * (a or 1.0), ctm[1] * (d or 1.0),
-                       ctm[0] * e + ctm[2], ctm[1] * f + ctm[3]]
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"q":
-                ctm_stack.append((list(ctm), char_spacing,
+                ctm_stack.append((ctm, char_spacing,
                                   word_spacing, hscale, rise))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, char_spacing, word_spacing,
                      hscale, rise) = ctm_stack.pop()
             elif op == b"BT":
-                tx = ty = line_x = line_y = 0.0
+                tm = tlm = _MAT_ID
                 stack.clear()
             elif op == b"ET":
                 stack.clear()
@@ -1273,14 +1340,12 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 font = fonts.get(fname)
                 font_key = f"{fname}:{size:g}"
             elif op == b"Td" and len(stack) >= 2:
-                line_x += float(stack[-2])
-                line_y += float(stack[-1])
-                tx, ty = line_x, line_y
+                tlm = _mat_translate(float(stack[-2]), float(stack[-1]), tlm)
+                tm = tlm
             elif op == b"TD" and len(stack) >= 2:
                 leading = -float(stack[-1])
-                line_x += float(stack[-2])
-                line_y += float(stack[-1])
-                tx, ty = line_x, line_y
+                tlm = _mat_translate(float(stack[-2]), float(stack[-1]), tlm)
+                tm = tlm
             elif op == b"TL" and len(stack) >= 1:
                 leading = float(stack[-1])
             elif op == b"Tc" and stack:
@@ -1292,36 +1357,34 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
             elif op == b"Ts" and stack:
                 rise = float(stack[-1])
             elif op == b"Tm" and len(stack) >= 6:
-                a, b_, c_, d, e, f = (float(v) for v in stack[-6:])
-                scale_x, scale_y = (a or 1.0), (d or 1.0)
-                line_x, line_y = e, f
-                tx, ty = e, f
+                tm = tlm = tuple(float(v) for v in stack[-6:])
             elif op == b"T*":
-                line_y -= leading
-                tx, ty = line_x, line_y
+                tlm = _mat_translate(0.0, -leading, tlm)
+                tm = tlm
             elif op == b"Tj" and stack:
                 show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
             elif op == b"'" and stack:
-                line_y -= leading
-                tx, ty = line_x, line_y
+                tlm = _mat_translate(0.0, -leading, tlm)
+                tm = tlm
                 show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
             elif op == b'"' and len(stack) >= 3:
                 # aw ac string ": set word + char spacing, then act
                 # like ' (next line + show) — spec table 109
                 word_spacing = float(stack[-3])
                 char_spacing = float(stack[-2])
-                line_y -= leading
-                tx, ty = line_x, line_y
+                tlm = _mat_translate(0.0, -leading, tlm)
+                tm = tlm
                 show(stack[-1] if isinstance(stack[-1], (bytes, bytearray)) else b"")
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for item in stack[-1]:
                     if isinstance(item, (bytes, bytearray)):
                         show(bytes(item))
                     elif isinstance(item, (int, float)):
-                        # spec 9.4.3: the number translates by
-                        # -n/1000·Tfs·Th
-                        tx -= float(item) / 1000.0 * size \
-                            * hscale * scale_x
+                        # spec 9.4.3: the number translates the text
+                        # matrix by -n/1000·Tfs·Th along its x axis
+                        tm = _mat_translate(
+                            -float(item) / 1000.0 * size * hscale,
+                            0.0, tm)
             # fill-color operators (stroke variants ignored — text
             # renders with the fill color); scn components may include
             # a trailing pattern name, so keep only numerics
