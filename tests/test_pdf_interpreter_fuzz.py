@@ -219,3 +219,71 @@ def test_interpreter_matches_spec_tracker(seed):
         assert gx == pytest.approx(ex, abs=1e-6)
         assert gy == pytest.approx(ey, abs=1e-6)
         assert gw == pytest.approx(ew, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Rotation composition sweep: the same random programs rewritten with
+# a rotated Tm on a /Rotate page whose rotations CANCEL must emit
+# byte-identical display runs to the unrotated original.
+# --------------------------------------------------------------------------
+
+# display-upright Tm linear part canceling each /Rotate (derived from
+# _rotate_ctm's conventions; independent hand derivation in
+# tests/test_pdf_rotation.py)
+_CANCEL = {90: (0, 1, -1, 0), 180: (-1, 0, 0, -1), 270: (0, -1, 1, 0)}
+
+
+def _rot_tm(rot: int, x0: float, y0: float, w: int, h: int):
+    """Tm for display-bottom-up origin (x0, y0) on a /Rotate page.
+    Solves apply(CTM_rot, (ex, ey)) == (x0, y0) by hand per rotation."""
+    a, b, c, d = _CANCEL[rot]
+    if rot == 90:      # CTM (0,-1,1,0,0,w): x' = ey, y' = w - ex
+        ex, ey = w - y0, x0
+    elif rot == 180:   # x' = w - ex, y' = h - ey
+        ex, ey = w - x0, h - y0
+    else:              # 270, CTM (0,1,-1,0,h,0): x' = h - ey, y' = ex
+        ex, ey = y0, h - x0
+    return (a, b, c, d, ex, ey)
+
+
+@pytest.mark.parametrize("seed,rot", [(s, r) for s in range(6)
+                                      for r in (90, 180, 270)])
+def test_rotated_twin_matches_unrotated(seed, rot):
+    from ray_script_extract.sources.pdfnative import pdf_to_page_xml
+
+    content, _ = _random_program(seed)
+    pdf_plain = _pdf_around(content)
+
+    # rewrite every absolute Tm: "1 0 0 1 x y Tm" -> canceling rotated
+    # form placing the same display point on the rotated page
+    import re as _re
+
+    w, h = 612, PAGE_H
+    if rot in (90, 270):
+        # the rotated CONTENT page swaps dims so the display page is
+        # 612x792 again and coordinates compare 1:1
+        cw, ch = h, w
+    else:
+        cw, ch = w, h
+
+    def rewrite(m):
+        x0, y0 = float(m.group(1)), float(m.group(2))
+        a, b, c, d, ex, ey = _rot_tm(rot, x0, y0, cw, ch)
+        return f"{a:g} {b:g} {c:g} {d:g} {ex:g} {ey:g} Tm"
+
+    text = content.decode("latin-1")
+    rewritten = _re.sub(r"1 0 0 1 ([\d.]+) ([\d.]+) Tm", rewrite, text)
+    assert rewritten != text  # the generator always opens with a Tm
+    # Relative ops (Td/TD/T*/leading) move in TEXT space, but they map
+    # through tlm·CTM whose linear part is IDENTITY in both documents
+    # (identity·identity vs R_cancel·R_rot), so every display position
+    # — not just the absolute-Tm ones — must agree exactly.
+    pdf_rot = _pdf_around(rewritten.encode("latin-1")).replace(
+        b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R >>",
+        b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R /Rotate %d >>"
+        % rot)
+    if rot in (90, 270):
+        pdf_rot = pdf_rot.replace(
+            b"/MediaBox [0 0 612 %d]" % PAGE_H,
+            b"/MediaBox [0 0 %d 612]" % PAGE_H)
+    assert pdf_to_page_xml(pdf_rot) == pdf_to_page_xml(pdf_plain)
