@@ -2611,6 +2611,15 @@ ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL
 ORACLE_SQL["users_per_event_type"] = USERS_PER_EVENT_TYPE_SQL
 ORACLE_SQL["filter_length_band"] = FILTER_LENGTH_BAND_SQL
 
+from .html_extract import (HTML_MAIN_CONTENT_SQL,  # noqa: E402
+                           html_main_content)
+
+# generic DOM-density boilerplate strip (WSDM'10) with the
+# planted-article construction: the wrap is deterministic, so the
+# whole DOM operator has an EXACT SQL oracle (round 5)
+QUERIES["html_main_content"] = html_main_content
+ORACLE_SQL["html_main_content"] = HTML_MAIN_CONTENT_SQL
+
 from .decontam import DECONTAM_BLOOM_SQL, decontaminate_bloom  # noqa: E402
 
 # exact oracle (round 5): the bitmap is deterministic md5 +
