@@ -111,7 +111,11 @@ def _random_program(seed: int):
     r = random.Random(seed)
     tracker = SpecTracker()
     parts = ["BT", "/F1 12 Tf"]
-    words = ["alpha", "beta gamma", "x", "spaced out words", "Q(ed)"]
+    # escape-heavy strings exercise _parse_literal_string's bulk-run
+    # fast path boundaries (backslash escapes, nested/unbalanced
+    # parens) — the tracker sees only the LOGICAL string
+    words = ["alpha", "beta gamma", "x", "spaced out words", "Q(ed)",
+             "par(en)s here", "back\\slash th", ")odd( one"]
     tracker.op("Tm", 1, 0, 0, 1, 72, 700)
     parts.append(_emit("Tm", 1, 0, 0, 1, 72, 700))
     for _ in range(r.randint(15, 40)):
