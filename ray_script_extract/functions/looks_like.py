@@ -199,3 +199,28 @@ def looks_like_fountain(lines: Sequence[str]) -> bool:
         if trimmed != "" and trimmed != line:
             indented += 1
     return indented < len(lines) / 10
+
+
+# ---------------------------------------------------------------------------
+# Bounded per-process memo on the pure str->bool predicates: the block
+# engine re-evaluates the same line across classification passes (and
+# corpora repeat transitions/headers across docs) — measured 65% of
+# all predicate calls are repeats on the pdf-heavy mix.  lru_cache is
+# BOUNDED so long-lived Ray workers never grow a vocabulary-sized
+# cache (same discipline as bpe._ENCODE_MEMO).  Sequence-arg
+# predicates (changebar/contact_info/fountain) stay unwrapped.
+# ---------------------------------------------------------------------------
+from functools import lru_cache  # noqa: E402
+
+_MEMO_PREDICATES = (
+    "looks_like_transition", "looks_like_sceneheading",
+    "looks_like_slugline", "looks_like_series_or_montage_slugline",
+    "looks_like_slugline_or_transition", "looks_like_vo_or_os",
+    "looks_like_parenthetical", "contains_vo_os_notation",
+    "contains_vo_os", "looks_like_character", "looks_like_the_end",
+    "looks_like_page_number", "looks_like_scene_number",
+    "looks_like_hrule", "contains_date",
+)
+for _name in _MEMO_PREDICATES:
+    globals()[_name] = lru_cache(maxsize=1 << 16)(globals()[_name])
+del _name
