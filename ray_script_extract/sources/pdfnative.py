@@ -903,7 +903,24 @@ class _Font:
         # use /DW (a per-CID width lookup WOULD need the tables);
         # vertical (V) forms decode identically, writing direction is
         # carried by Tm as everywhere else in this engine.
-        self.cid = doc.resolve(font_dict.get("/Subtype")) == "/Type0"
+        subtype = doc.resolve(font_dict.get("/Subtype"))
+        self.cid = subtype == "/Type0"
+        # Type3 fonts (spec 9.6.5): glyphs are content streams and the
+        # /Widths entries are in GLYPH space, mapped to text space by
+        # /FontMatrix — not the fixed 1/1000 of Type1/TrueType.
+        # width_scale converts them to the /1000-based units the
+        # advance arithmetic expects: units = w_glyph·FontMatrix[a]·1000
+        # (horizontal component only; a skewed FontMatrix has no
+        # faithful representation in the pdftohtml XML model).
+        self.type3 = subtype == "/Type3"
+        self.width_scale = 1.0
+        if self.type3:
+            fm = doc.resolve(font_dict.get("/FontMatrix"))
+            try:
+                a = float(doc.resolve(fm[0]))
+            except Exception:
+                a = 0.001
+            self.width_scale = a * 1000.0
         enc_name = doc.resolve(font_dict.get("/Encoding"))
         self.cid_utf16 = bool(
             isinstance(enc_name, str)
@@ -950,7 +967,8 @@ class _Font:
         # selection follows the resolved family + style flags above
         self.std14: Optional[Dict[str, int]] = (
             _std14_widths(self.family, self.bold, self.italic)
-            if self.widths is None and not self.cid else None)
+            if self.widths is None and not self.cid and not self.type3
+            else None)
 
     def _parse_w_array(self, doc: PdfDocument, w) -> None:
         """CIDFont /W: ``[c [w...]]`` per-CID runs or ``[c1 c2 w]``
@@ -1051,7 +1069,7 @@ class _Font:
                     total += float(self.widths[idx])
                 else:
                     total += _COURIER_WIDTH
-            return total
+            return total * self.width_scale
         if self.std14 is not None:
             # resolve through /Differences + the base encoding so a
             # remapped code advances by its actual glyph; glyphs
@@ -1171,6 +1189,14 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
     word_spacing = 0.0   # Tw
     hscale = 1.0         # Tz / 100
     rise = 0.0           # Ts
+    # Tr text rendering mode (spec 9.3.6).  Modes with (mode & 3) == 3
+    # (3 = invisible, 7 = clip-only) paint no glyphs: poppler's
+    # pdftohtml drops them unless -hidden is passed, and the reference
+    # consumes default pdftohtml -xml output — so the engine drops
+    # them too, while STILL advancing the text matrix (invisible text,
+    # e.g. an OCR layer under a scanned image, moves the pen like any
+    # other text).
+    render_mode = 0      # Tr
 
     fill_color = "#000000"
 
@@ -1232,12 +1258,15 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
             dev_x = min(xs)
             dev_y = min(oy, oy + advy)
             width = max(xs) - dev_x
-        runs.append(_TextRun(dev_x, dev_y, width,
-                             size * abs(m[3]) if abs(m[3]) > 1e-9
-                             else size * abs(m[2]), text,
-                             f"{font_key}:{fill_color}",
-                             font.family, fill_color,
-                             font.bold, font.italic))
+        if (render_mode & 3) != 3:
+            # invisible (3) / clip-only (7) text advances but emits
+            # nothing — HtmlOutputDev's `(render & 3) == 3` skip
+            runs.append(_TextRun(dev_x, dev_y, width,
+                                 size * abs(m[3]) if abs(m[3]) > 1e-9
+                                 else size * abs(m[2]), text,
+                                 f"{font_key}:{fill_color}",
+                                 font.family, fill_color,
+                                 font.bold, font.italic))
         tm = _mat_translate(text_adv, 0.0, tm)
 
     def exec_content(data: bytes, fonts: Dict, xobjects: Dict,
@@ -1248,7 +1277,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
         derail the tokenizer)."""
         nonlocal font, font_key, size, leading, tm, tlm
         nonlocal ctm, fill_color
-        nonlocal char_spacing, word_spacing, hscale, rise
+        nonlocal char_spacing, word_spacing, hscale, rise, render_mode
         lex = _Lexer(data)
         stack: List = []
         while True:
@@ -1300,7 +1329,7 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                         and doc.resolve(xo.dict.get("/Subtype")) == "/Form"):
                     saved = (font, font_key, size, leading, tm, tlm,
                              ctm, fill_color, char_spacing,
-                             word_spacing, hscale, rise)
+                             word_spacing, hscale, rise, render_mode)
                     matrix = doc.resolve(xo.dict.get("/Matrix"))
                     if isinstance(matrix, list) and len(matrix) == 6:
                         ctm = _mat_mul(tuple(
@@ -1318,17 +1347,17 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                         body = b""
                     exec_content(body, xfonts, xxobj, depth + 1)
                     (font, font_key, size, leading, tm, tlm,
-                     ctm, fill_color,
-                     char_spacing, word_spacing, hscale, rise) = saved
+                     ctm, fill_color, char_spacing, word_spacing,
+                     hscale, rise, render_mode) = saved
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"q":
-                ctm_stack.append((ctm, char_spacing,
-                                  word_spacing, hscale, rise))
+                ctm_stack.append((ctm, char_spacing, word_spacing,
+                                  hscale, rise, render_mode))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, char_spacing, word_spacing,
-                     hscale, rise) = ctm_stack.pop()
+                     hscale, rise, render_mode) = ctm_stack.pop()
             elif op == b"BT":
                 tm = tlm = _MAT_ID
                 stack.clear()
@@ -1356,6 +1385,8 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 hscale = float(stack[-1]) / 100.0
             elif op == b"Ts" and stack:
                 rise = float(stack[-1])
+            elif op == b"Tr" and stack:
+                render_mode = int(float(stack[-1]))
             elif op == b"Tm" and len(stack) >= 6:
                 tm = tlm = tuple(float(v) for v in stack[-6:])
             elif op == b"T*":

@@ -1,5 +1,5 @@
 """Randomized content-stream interpreter armor: generate seeded
-random operator programs (Td/TD/Tm/T*/TL/Tc/Tw/Tz/Ts/q/Q/Tj/TJ/'/\")
+random operator programs (Td/TD/Tm/T*/TL/Tc/Tw/Tz/Ts/Tr/q/Q/Tj/TJ/'/\")
 over Courier-12 and compare every emitted run's (text, x, y, width)
 against an INDEPENDENT tracker written straight from the PDF spec
 (9.3-9.4) in this file — not by calling the engine.
@@ -37,6 +37,7 @@ class SpecTracker:
         self.tw = 0.0
         self.th = 1.0
         self.rise = 0.0
+        self.mode = 0             # Tr render mode
         self.lx = self.ly = 0.0   # line matrix origin
         self.tx = self.ty = 0.0   # text matrix origin
         self.stack = []
@@ -66,11 +67,15 @@ class SpecTracker:
             self.th = args[0] / 100.0
         elif name == "Ts":
             self.rise = args[0]
+        elif name == "Tr":
+            self.mode = args[0]
         elif name == "q":
-            self.stack.append((self.tc, self.tw, self.th, self.rise))
+            self.stack.append((self.tc, self.tw, self.th, self.rise,
+                               self.mode))
         elif name == "Q":
             if self.stack:
-                self.tc, self.tw, self.th, self.rise = self.stack.pop()
+                (self.tc, self.tw, self.th, self.rise,
+                 self.mode) = self.stack.pop()
         elif name == "Tj":
             self._show(args[0])
         elif name == "'":
@@ -91,7 +96,10 @@ class SpecTracker:
         adv = (COURIER * self.size * len(s)
                + self.tc * len(s)
                + self.tw * s.count(" ")) * self.th
-        self.runs.append((s, self.tx, self.ty + self.rise, adv))
+        # invisible (3) / clip-only (7) text advances without emitting
+        # — pdftohtml's default (no -hidden) drops those glyphs
+        if (self.mode & 3) != 3:
+            self.runs.append((s, self.tx, self.ty + self.rise, adv))
         self.tx += adv
 
 
@@ -141,10 +149,15 @@ def _random_program(seed: int):
             op = r.choice(["Tc", "Tw", "Ts"])
             tracker.op(op, v)
             parts.append(_emit(op, v))
-        elif choice < 0.56:
+        elif choice < 0.54:
             v = r.choice([50, 80, 100, 120, 200])
             tracker.op("Tz", v)
             parts.append(_emit("Tz", v))
+        elif choice < 0.58:
+            # render mode: invisible/clip modes must advance silently
+            v = r.choice([0, 0, 1, 2, 3, 3, 7])
+            tracker.op("Tr", v)
+            parts.append(_emit("Tr", v))
         elif choice < 0.64:
             op = r.choice(["q", "Q"])
             tracker.op(op)
