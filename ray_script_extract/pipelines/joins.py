@@ -206,6 +206,19 @@ def sorted_small(ds: "ray.data.Dataset", by, descending=False,
     mat = ds.materialize()
     if (mat.size_bytes() or 0) > budget_bytes:
         return mat.sort(by, descending=descending)
+    if schema is None:
+        # derive the declared columns from the materialized dataset so
+        # an all-empty result (every block filtered away, e.g. a
+        # HAVING-style threshold nothing passes at this sf) still
+        # carries them — without this, callers get a zero-column
+        # table and the oracle compare / downstream selects KeyError
+        try:
+            rs = mat.schema(fetch_if_missing=False)
+            base = getattr(rs, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                schema = base
+        except Exception:
+            pass
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)

@@ -2006,8 +2006,10 @@ from .text_analysis import (  # noqa: E402
     SHARED_PASSAGES_SQL,
     TFIDF_SQL,
     WINNOW_SQL,
+    WORD_PMI_SQL,
     bm25_search,
     doc_bigram_coverage,
+    word_pmi_pairs,
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
@@ -2102,6 +2104,7 @@ QUERIES["doc_repetition_signals"] = doc_repetition_signals
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 QUERIES["bm25_search"] = bm25_search
 QUERIES["doc_bigram_coverage"] = doc_bigram_coverage
+QUERIES["word_pmi_pairs"] = word_pmi_pairs
 QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["scrub_pii"] = scrub_pii
@@ -2205,6 +2208,7 @@ ORACLE_SQL: Dict[str, str] = {
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": BM25_SQL,
     "doc_bigram_coverage": BIGRAM_COVERAGE_SQL,
+    "word_pmi_pairs": WORD_PMI_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     "scrub_repeated_passages": SCRUB_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,
@@ -3149,4 +3153,38 @@ def _r5_rank(name: str):
     return (1, _DRIVER_GREEN_COUNTS.get(name, 0))
 
 
-QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=_r5_rank)}
+def _empty_safe(fn):
+    """Registry-boundary guard for legitimately-empty results.
+
+    Ray 2.49 loses an all-empty Dataset's schema at consumption
+    (``iter_batches`` yields nothing for zero-row blocks, so
+    ``to_pandas()`` builds a column-less frame) — a threshold query
+    that keeps nothing at some scale factor (e.g. q11's
+    fraction-of-global HAVING at sf0.1) would then schema-mismatch
+    its oracle even though both sides agree on zero rows.  The
+    registry contract allows Dataset | DataFrame | Table, so when a
+    Dataset result is empty, hand the comparator the declared columns
+    as an empty Arrow table instead.  Non-empty results pass through
+    materialized (same execution the consumer would trigger)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(sf_dir, *a, **k):
+        res = fn(sf_dir, *a, **k)
+        if isinstance(res, ray.data.Dataset):
+            mat = res.materialize()
+            if (mat.count() or 0) == 0:
+                try:
+                    rs = mat.schema(fetch_if_missing=False)
+                    base = getattr(rs, "base_schema", None)
+                    if isinstance(base, pa.Schema):
+                        return base.empty_table()
+                except Exception:
+                    pass
+            return mat
+        return res
+    return wrap
+
+
+QUERIES = {k: _empty_safe(QUERIES[k])
+           for k in sorted(QUERIES, key=_r5_rank)}

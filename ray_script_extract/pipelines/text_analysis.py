@@ -1403,3 +1403,240 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
 ORDER BY d.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# Word-association mining: integer-exact PMI phrase scores
+# ---------------------------------------------------------------------------
+# word2vec-style phrase detection (Mikolov et al. 2013 §4's bigram
+# score): rank adjacent-word pairs by how much more often they occur
+# together than independence predicts.  The score is kept integer-
+# exact — score = pair_count·N·10^6 // (c(w1)·c(w2)) with N the total
+# token count — so the DuckDB oracle matches bit-for-bit.  (At
+# 10^12-token scale the numerator needs 128-bit math; DuckDB promotes
+# to HUGEINT, the Ray side would switch the one multiply to Python
+# ints — the int64 path is exact for any corpus under ~10^9 tokens
+# with pair counts under ~10^4, far past the bench scales.)
+#
+# Scale design: ONE combined exchange builds both unigram and pair
+# counts (tokens never contain spaces, so "w" and "w1 w2" keys share
+# a namespace); the pair side then needs c(w1)/c(w2) — broadcast the
+# vocab (sorted arrays via ray.put) when it fits the same row budget
+# as the tfidf vocab, else two more keyed exchanges join counts in
+# (``force_join`` pins the scale path in tests).  Per-block top-k
+# pruning bounds the final sort input by k·blocks.
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+_PMI_SCALE = 1_000_000
+_PMI_BROADCAST_ROWS = 2_000_000
+
+_PMI_SCHEMA = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                         ("pair_count", pa.int64()),
+                         ("score", pa.int64())])
+
+
+def _pmi_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch unigram + adjacent-pair counts, one output table:
+    key = "w" (unigram) or "w1 w2" (pair), c = occurrences.
+    Tokenization identical to _tf_batch/_bigram_rows (lower, \\s+
+    split, empties dropped); pairs never span documents."""
+    import pandas as pd
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+    seg = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    docix = np.repeat(np.arange(len(seg), dtype=np.int64), seg)
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    docix = docix[valid]
+    words = np.asarray(flat.to_numpy(zero_copy_only=False))[valid]
+    if not len(words):
+        return pa.table({"k": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    codes, uniq = pd.factorize(words)
+    ucnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    keys = np.asarray(uniq, dtype=object)
+    cnts = ucnt
+    if len(words) >= 2:
+        adj = docix[:-1] == docix[1:]
+        nv = np.int64(len(uniq))
+        pair = codes[:-1][adj].astype(np.int64) * nv + codes[1:][adj]
+        if len(pair):
+            pinv, upair = pd.factorize(pair)
+            pcnt = np.bincount(pinv, minlength=len(upair)).astype(np.int64)
+            uw = np.asarray(uniq, dtype=object)
+            ubg = uw[upair // nv] + " " + uw[upair % nv]
+            keys = np.concatenate([keys, ubg])
+            cnts = np.concatenate([cnts, pcnt])
+    return pa.table({"k": pa.array(keys, pa.string()),
+                     "c": pa.array(cnts, pa.int64())})
+
+
+def word_pmi_pairs(sf_dir: str, min_count: int = _PMI_MIN_COUNT,
+                   k: int = _PMI_K, force_join: bool = False):
+    """Top-k adjacent word pairs by integer-scaled PMI
+    (w1, w2, pair_count, score), score DESC / w1 / w2 ties."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    cnt = groupby_agg_partitioned(
+        docs.map_batches(_pmi_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["k"], {"c": "sum"}).materialize()
+
+    def _is_pair(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t.column("k"), " ")
+        return t.filter(pc.and_(m, pc.greater_equal(
+            t.column("c"), pa.scalar(min_count, pa.int64()))))
+
+    def _is_uni(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.match_substring(t.column("k"), " ")))
+
+    uni = cnt.map_batches(_is_uni, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    pairs = cnt.map_batches(_is_pair, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_tokens = int(uni.sum("c") or 0)
+    if not n_tokens:
+        return ray.data.from_arrow(_PMI_SCHEMA.empty_table())
+
+    def _score_tbl(w1, w2, pcv, c1, c2) -> pa.Table:
+        score = pcv * np.int64(n_tokens) * np.int64(_PMI_SCALE) \
+            // (c1 * c2)
+        t = pa.table({"w1": pa.array(w1, pa.string()),
+                      "w2": pa.array(w2, pa.string()),
+                      "pair_count": pa.array(pcv, pa.int64()),
+                      "score": pa.array(score, pa.int64())})
+        # per-block top-k prune bounds the final merge
+        return t.sort_by([("score", "descending"), ("w1", "ascending"),
+                          ("w2", "ascending")]).slice(0, k)
+
+    if uni.count() <= _PMI_BROADCAST_ROWS and not force_join:
+        tabs = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            vdf = pa.concat_tables(tabs).to_pandas() \
+                .sort_values("k", kind="stable")
+            handle = ray.put((vdf["k"].to_numpy(dtype=object),
+                              vdf["c"].to_numpy(np.int64)))
+        else:
+            handle = ray.put((np.empty(0, object), np.empty(0, np.int64)))
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return _PMI_SCHEMA.empty_table()
+            ws, cs = ray.get(handle)
+            split = pc.split_pattern(t.column("k"), " ")
+            w1 = np.asarray(pc.list_element(split, 0)
+                            .to_numpy(zero_copy_only=False))
+            w2 = np.asarray(pc.list_element(split, 1)
+                            .to_numpy(zero_copy_only=False))
+            pos1 = np.minimum(np.searchsorted(ws, w1), len(ws) - 1)
+            pos2 = np.minimum(np.searchsorted(ws, w2), len(ws) - 1)
+            # every pair word IS in the vocab by construction
+            c1, c2 = cs[pos1], cs[pos2]
+            return _score_tbl(w1, w2,
+                              t.column("c").to_numpy(zero_copy_only=False),
+                              c1, c2)
+
+        scored = pairs.map_batches(score_bcast, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        return sorted_small(scored, ["score", "w1", "w2"],
+                            descending=[True, False, False],
+                            schema=_PMI_SCHEMA).limit(k)
+
+    # ---- scale path: two keyed exchanges attach c(w1), c(w2) --------
+    def _tag_uni(t: pa.Table) -> pa.Table:
+        return pa.table({"w": t.column("k"),
+                         "mate": pa.array([""] * len(t), pa.string()),
+                         "pair_count": pa.array(
+                             np.full(len(t), -1, np.int64), pa.int64()),
+                         "cw": t.column("c")})
+
+    def _pair_rows_w1(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t.column("k"), " ")
+        return pa.table({"w": pc.list_element(split, 0),
+                         "mate": pc.list_element(split, 1),
+                         "pair_count": t.column("c"),
+                         "cw": pa.array(np.zeros(len(t), np.int64),
+                                        pa.int64())})
+
+    def _join_cw(part: "pd.DataFrame") -> "pd.DataFrame":
+        left = part[part["pair_count"] >= 0]
+        right = part[part["pair_count"] < 0][["w", "cw"]] \
+            .rename(columns={"cw": "cj"})
+        m = left.merge(right, on="w", how="inner")
+        m["cw"] = m.pop("cj")
+        return m
+
+    stage1 = hash_partitioned_map(
+        pairs.map_batches(_pair_rows_w1, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .union(uni.map_batches(_tag_uni, batch_format="pyarrow",
+                               zero_copy_batch=True)),
+        ["w"], _join_cw)
+
+    # re-key on the mate word: carry (w1, w2, pair_count, c1) rows
+    def _rekey(t: pa.Table) -> pa.Table:
+        return pa.table({"w": t.column("mate"),
+                         "mate": t.column("w"),
+                         "pair_count": t.column("pair_count"),
+                         "cw": t.column("cw")})
+
+    def _join_and_score(part: "pd.DataFrame") -> "pd.DataFrame":
+        left = part[part["pair_count"] >= 0]
+        right = part[part["pair_count"] < 0][["w", "cw"]] \
+            .rename(columns={"cw": "c2"})
+        m = left.merge(right, on="w", how="inner")
+        if not len(m):
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "pair_count": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.int64)})
+        pcv = m["pair_count"].to_numpy(np.int64)
+        score = pcv * np.int64(n_tokens) * np.int64(_PMI_SCALE) \
+            // (m["cw"].to_numpy(np.int64) * m["c2"].to_numpy(np.int64))
+        out = pd.DataFrame({"w1": m["mate"].to_numpy(object),
+                            "w2": m["w"].to_numpy(object),
+                            "pair_count": pcv, "score": score})
+        return out.sort_values(["score", "w1", "w2"],
+                               ascending=[False, True, True]).head(k)
+
+    stage2 = hash_partitioned_map(
+        stage1.map_batches(_rekey, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .union(uni.map_batches(_tag_uni, batch_format="pyarrow",
+                               zero_copy_batch=True)),
+        ["w"], _join_and_score)
+    return sorted_small(stage2, ["score", "w1", "w2"],
+                        descending=[True, False, False],
+                        schema=_PMI_SCHEMA).limit(k)
+
+
+WORD_PMI_SQL = f"""
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tok),
+pcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS pair_count
+         FROM big GROUP BY bg),
+scored AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         pair_count,
+         CAST(pair_count * n * {_PMI_SCALE} // (u1.c * u2.c)
+              AS BIGINT) AS score
+  FROM pcnt CROSS JOIN tot
+  JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+  WHERE pair_count >= {_PMI_MIN_COUNT})
+SELECT w1, w2, pair_count, score FROM scored
+ORDER BY score DESC, w1, w2 LIMIT {_PMI_K}
+"""
