@@ -86,7 +86,10 @@ _DELIM = b"()<>[]{}/%"
 _RE_REF = re.compile(rb"[+-]?\d+\s+\d+\s+R\b")
 _RE_NUM = re.compile(rb"[+-]?(\d+\.\d*|\.\d+|\d+)")
 _RE_KW = re.compile(rb"[A-Za-z'\"*]+")
-_RE_EI = re.compile(rb"\bEI\b")
+# inline-image terminator: EI delimited by PDF whitespace on both
+# sides (or stream end) — bare \bEI\b false-positives on sample bytes
+# like b"xEI(" where the neighbours are non-word bytes
+_RE_EI = re.compile(rb"(?:^|[\x00\t\n\x0c\r ])EI(?=[\x00\t\n\x0c\r ]|$)")
 _RE_STR_PLAIN = re.compile(rb"[^\\()]+")
 
 
@@ -1010,12 +1013,38 @@ class _Font:
                 chars = bytes.fromhex(dst).decode("utf-16-be", "ignore")
                 mapping[code] = chars
         for m in re.finditer(r"beginbfrange(.*?)endbfrange", text, re.S):
+            body = m.group(1)
             for lo, hi, dst in re.findall(
                     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
-                    m.group(1)):
-                lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
-                for code in range(lo_i, hi_i + 1):
-                    mapping[code] = chr(base + (code - lo_i))
+                    body):
+                lo_i, hi_i = int(lo, 16), int(hi, 16)
+                if len(dst) <= 4:
+                    base = int(dst, 16)
+                    for code in range(lo_i, hi_i + 1):
+                        mapping[code] = chr(base + (code - lo_i))
+                else:
+                    # multi-unit destination (ligature/surrogate):
+                    # spec 9.10.3 increments the LAST code unit only
+                    units = bytes.fromhex(dst)
+                    prefix, last = units[:-2], int.from_bytes(
+                        units[-2:], "big")
+                    for code in range(lo_i, hi_i + 1):
+                        mapping[code] = (
+                            prefix + ((last + code - lo_i) & 0xFFFF)
+                            .to_bytes(2, "big")).decode(
+                                "utf-16-be", "ignore")
+            # array form: <lo> <hi> [<d1> <d2> …] — one destination
+            # string per code, no incrementing
+            for lo, hi, arr in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                    r"\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]", body):
+                lo_i, hi_i = int(lo, 16), int(hi, 16)
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", arr)
+                for off, d in enumerate(dsts):
+                    if lo_i + off > hi_i:
+                        break
+                    mapping[lo_i + off] = bytes.fromhex(d).decode(
+                        "utf-16-be", "ignore")
         return mapping or None
 
     def _codes(self, raw: bytes) -> List[int]:
@@ -1289,9 +1318,44 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
                 continue
             op = obj.name
             if op == b"BI":
-                # inline image: raw sample bytes follow ID … EI
+                # inline image (spec 8.9.7): abbreviated param dict up
+                # to ID, then one whitespace byte and raw sample bytes
+                # until a whitespace-delimited EI.  The engine emits
+                # the same content-addressed media span shape as Do'd
+                # Image XObjects — ref is the sha256 of the raw
+                # (possibly still filter-encoded) sample bytes, dims
+                # from /W //Width ///H //Height, placement from the CTM.
+                params: Dict = {}
+                while True:
+                    o1 = lex.parse_object()
+                    if o1 is None or (isinstance(o1, Keyword)
+                                      and o1.name == b"ID"):
+                        break
+                    o2 = lex.parse_object()
+                    if isinstance(o2, Keyword) and o2.name == b"ID":
+                        break
+                    if isinstance(o1, str):
+                        params[o1] = doc.resolve(o2)
+                if (lex.pos < len(lex.data)
+                        and lex.data[lex.pos] in b"\x00\t\n\x0c\r "):
+                    lex.pos += 1
                 m = _RE_EI.search(lex.data, lex.pos)
+                sample = lex.data[lex.pos:m.start() if m else len(lex.data)]
                 lex.pos = m.end() if m else len(lex.data)
+                import hashlib as _hl
+
+                w = params.get("/W", params.get("/Width"))
+                h = params.get("/H", params.get("/Height"))
+                media.append({
+                    "ref": "img://sha256/"
+                           + _hl.sha256(sample).hexdigest(),
+                    "width": int(w) if isinstance(w, (int, float)) else 0,
+                    "height": int(h) if isinstance(h, (int, float)) else 0,
+                    "top": round(page_h - max(
+                        ctm[5], ctm[1] + ctm[3] + ctm[5])),
+                    "left": round(min(
+                        ctm[4], ctm[0] + ctm[2] + ctm[4])),
+                })
             elif op == b"Do" and stack:
                 name = stack[-1]
                 xo = doc.resolve(xobjects.get(name)) \
