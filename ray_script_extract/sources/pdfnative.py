@@ -959,12 +959,22 @@ class _Font:
         desc = doc.resolve(font_dict.get("/FontDescriptor"))
         if desc is None and desc_dict is not None:
             desc = doc.resolve(desc_dict.get("/FontDescriptor"))
+        # /MissingWidth (spec 9.8.1): the advance for codes outside
+        # FirstChar..LastChar when /Widths is present.  Poppler
+        # defaults it to 0; this engine keeps the Courier-600 fallback
+        # when the descriptor is silent (a malformed PDF whose codes
+        # all miss the table would otherwise glue every word together)
+        # and honours an explicit value.
+        self.missing_width = float(_COURIER_WIDTH)
         if isinstance(desc, dict):
             flags = doc.resolve(desc.get("/Flags"))
             if isinstance(flags, (int, float)):
                 flags = int(flags)
                 self.italic = self.italic or bool(flags & (1 << 6))
                 self.bold = self.bold or bool(flags & (1 << 18))
+            mw = doc.resolve(desc.get("/MissingWidth"))
+            if isinstance(mw, (int, float)):
+                self.missing_width = float(mw)
         # proportional standard-14 metrics kick in ONLY when the font
         # embeds no /Widths (an embedded array always wins, per spec);
         # selection follows the resolved family + style flags above
@@ -1097,7 +1107,7 @@ class _Font:
                 if 0 <= idx < len(self.widths):
                     total += float(self.widths[idx])
                 else:
-                    total += _COURIER_WIDTH
+                    total += self.missing_width
             return total * self.width_scale
         if self.std14 is not None:
             # resolve through /Differences + the base encoding so a

@@ -127,3 +127,34 @@ def test_bfrange_scalar_form_still_increments():
                     font_body=_FONT_TU, tounicode=cmap)
     (xml,) = pdf_to_page_xml(pdf)
     assert _texts(xml) == ["XYZ"]
+
+
+def test_missing_width_honoured_for_out_of_range_codes():
+    # A (65) is in /Widths (600); B (66) is past LastChar and must
+    # advance by the descriptor's /MissingWidth, not the Courier-600
+    # fallback
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/FirstChar 65 /LastChar 65 /Widths [600] "
+            b"/FontDescriptor << /Flags 0 /MissingWidth 300 >> >>")
+    pdf = _mini_pdf(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB) Tj (A) Tj ET",
+                    font_body=font)
+    from ray_script_extract.sources.pdfnative import (PdfDocument,
+                                                      _extract_page_runs)
+    doc = PdfDocument(pdf)
+    (page,) = list(doc.pages())
+    runs, _m, _w, _h = _extract_page_runs(doc, page)
+    assert abs(runs[0].width - (0.6 + 0.3) * 12) < 1e-9
+    assert abs(runs[1].x - (72 + (0.6 + 0.3) * 12)) < 1e-9
+
+
+def test_missing_width_defaults_to_courier_fallback():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+            b"/FirstChar 65 /LastChar 65 /Widths [600] >>")
+    pdf = _mini_pdf(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB) Tj ET",
+                    font_body=font)
+    from ray_script_extract.sources.pdfnative import (PdfDocument,
+                                                      _extract_page_runs)
+    doc = PdfDocument(pdf)
+    (page,) = list(doc.pages())
+    runs, _m, _w, _h = _extract_page_runs(doc, page)
+    assert abs(runs[0].width - (0.6 + 0.6) * 12) < 1e-9

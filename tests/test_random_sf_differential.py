@@ -75,6 +75,9 @@ def _run(fn, sf, **kw) -> pd.DataFrame:
     "word_frequency", "chunk_documents", "doc_quality", "langid_ngram",
     "doc_fingerprint", "scrub_pii", "sample_stratified",
     "split_train_val_test", "sample_temperature_mix",
+    # corpus-statistics family (subsampling shifts pair counts across
+    # the min_count threshold and reshuffles PMI/coverage tie ranks)
+    "word_pmi_pairs", "doc_bigram_coverage", "bm25_search",
 ])
 def test_differential(random_sf, name):
     from ray_script_extract.pipelines.queries import ORACLE_SQL, QUERIES
