@@ -1426,12 +1426,20 @@ def _extract_page_runs(doc: PdfDocument, page: Dict
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"q":
+                # full graphics-state save per spec 8.4.2: text font/
+                # size/leading and the fill color are graphics state
+                # (not BT/ET-scoped), so Q must restore them too —
+                # matches the Form-XObject save tuple above
                 ctm_stack.append((ctm, char_spacing, word_spacing,
-                                  hscale, rise, render_mode))
+                                  hscale, rise, render_mode,
+                                  font, font_key, size, leading,
+                                  fill_color))
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, char_spacing, word_spacing,
-                     hscale, rise, render_mode) = ctm_stack.pop()
+                     hscale, rise, render_mode,
+                     font, font_key, size, leading,
+                     fill_color) = ctm_stack.pop()
             elif op == b"BT":
                 tm = tlm = _MAT_ID
                 stack.clear()

@@ -69,13 +69,17 @@ class SpecTracker:
             self.rise = args[0]
         elif name == "Tr":
             self.mode = args[0]
+        elif name == "Tf":
+            self.size = args[0]
         elif name == "q":
+            # font size + leading are graphics state (spec 8.4.2,
+            # "text state parameters"), so q/Q round-trips them
             self.stack.append((self.tc, self.tw, self.th, self.rise,
-                               self.mode))
+                               self.mode, self.size, self.leading))
         elif name == "Q":
             if self.stack:
                 (self.tc, self.tw, self.th, self.rise,
-                 self.mode) = self.stack.pop()
+                 self.mode, self.size, self.leading) = self.stack.pop()
         elif name == "Tj":
             self._show(args[0])
         elif name == "'":
@@ -153,11 +157,17 @@ def _random_program(seed: int):
             v = r.choice([50, 80, 100, 120, 200])
             tracker.op("Tz", v)
             parts.append(_emit("Tz", v))
-        elif choice < 0.58:
+        elif choice < 0.56:
             # render mode: invisible/clip modes must advance silently
             v = r.choice([0, 0, 1, 2, 3, 3, 7])
             tracker.op("Tr", v)
             parts.append(_emit("Tr", v))
+        elif choice < 0.58:
+            # mid-program font-size change: advance arithmetic must
+            # rescale, and q/Q must restore the size (spec 8.4.2)
+            v = r.choice([8, 9, 10, 12, 14, 18])
+            tracker.op("Tf", v)
+            parts.append(f"/F1 {v:g} Tf")
         elif choice < 0.64:
             op = r.choice(["q", "Q"])
             tracker.op(op)
@@ -304,3 +314,72 @@ def test_rotated_twin_matches_unrotated(seed, rot):
             b"/MediaBox [0 0 612 %d]" % PAGE_H,
             b"/MediaBox [0 0 %d 612]" % PAGE_H)
     assert pdf_to_page_xml(pdf_rot) == pdf_to_page_xml(pdf_plain)
+
+
+# --------------------------------------------------------------------------
+# Form-XObject twin sweep: the same random program executed via a
+# (possibly nested) /Subtype /Form XObject with an identity matrix
+# must emit byte-identical page XML to the inline original — this
+# pins the Do recursion's resource merge and full graphics-state
+# save/restore (spec 8.10.1: Do brackets the form body in an implicit
+# state save, concatenates /Matrix, and restores after).
+# --------------------------------------------------------------------------
+
+
+def _pdf_with_form(content: bytes, nest: int) -> bytes:
+    objs = []
+
+    def add(b: bytes) -> int:
+        objs.append(b)
+        return len(objs)
+
+    f = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    # innermost form carries the real program; each wrapper just Do's
+    # the previous one.  Only the INNER form declares the font, so the
+    # test also covers resource inheritance through the merge chain.
+    inner = add(b"<< /Type /XObject /Subtype /Form "
+                b"/BBox [0 0 612 %d] " % PAGE_H
+                + b"/Resources << /Font << /F1 %d 0 R >> >> " % f
+                + b"/Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream")
+    for level in range(1, nest):
+        body = b"/X%d Do" % level
+        inner = add(b"<< /Type /XObject /Subtype /Form "
+                    b"/BBox [0 0 612 %d] " % PAGE_H
+                    + b"/Resources << /XObject << /X%d %d 0 R >> >> "
+                    % (level, inner)
+                    + b"/Length %d >>\nstream\n" % len(body)
+                    + body + b"\nendstream")
+    page_body = b"/X%d Do" % nest
+    c = add(b"<< /Length %d >>\nstream\n" % len(page_body)
+            + page_body + b"\nendstream")
+    p = add(f"<< /Type /Page /Parent {len(objs) + 2} 0 R "
+            f"/Contents {c} 0 R >>".encode())
+    pages = add((f"<< /Type /Pages /Kids [{p} 0 R] /Count 1 "
+                 f"/MediaBox [0 0 612 {PAGE_H}] "
+                 f"/Resources << /XObject << /X{nest} {inner} 0 R >> >> "
+                 f">>").encode())
+    cat = add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root {cat} 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed,nest", [(s, n) for s in range(8)
+                                       for n in (1, 3)])
+def test_form_xobject_twin_matches_inline(seed, nest):
+    from ray_script_extract.sources.pdfnative import pdf_to_page_xml
+
+    content, _ = _random_program(seed)
+    assert (pdf_to_page_xml(_pdf_with_form(content, nest))
+            == pdf_to_page_xml(_pdf_around(content)))
