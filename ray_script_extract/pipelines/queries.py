@@ -2006,6 +2006,7 @@ from .text_analysis import (  # noqa: E402
     SHARED_PASSAGES_SQL,
     TFIDF_SQL,
     WINNOW_SQL,
+    WINNOW_PAIRS_SQL,
     WORD_PMI_SQL,
     bm25_search,
     doc_bigram_coverage,
@@ -2013,6 +2014,7 @@ from .text_analysis import (  # noqa: E402
     doc_quality,
     doc_repetition_signals,
     doc_winnow_fingerprints,
+    winnow_plagiarism_pairs,
     langid_ngram,
     scrub_repeated_passages,
     shared_passages,
@@ -2059,6 +2061,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_simhash": dedup_simhash,
     "doc_quality": doc_quality,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
     "langid_ngram": langid_ngram,
     "media_features": media_features,
     "media_thumbnails": media_thumbnails,
@@ -2190,6 +2193,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_simhash": SIMHASH_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
+    "winnow_plagiarism_pairs": WINNOW_PAIRS_SQL,
     "sample_quality_weighted": _sample_quality_weighted_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,

@@ -336,7 +336,10 @@ def _winnow_horner_sql() -> str:
     return expr
 
 
-WINNOW_SQL = f"""
+# shared winnow CTE chain (g → w → sel): both the per-doc fingerprint
+# oracle and the plagiarism-pair oracle build on the same core so the
+# two stay definitionally in lockstep
+_WINNOW_CORE_SQL = f"""
 WITH g AS (
   SELECT doc_id, i, {_winnow_horner_sql()} AS h
   FROM (SELECT doc_id, lower(text) AS lt,
@@ -359,9 +362,161 @@ sel AS (
            AND g2.h = w.mn
   WHERE w.cnt = {_WINNOW_W}
   GROUP BY w.doc_id, w.i, w.mn
+)"""
+
+WINNOW_SQL = (_WINNOW_CORE_SQL
+              + "\nSELECT DISTINCT doc_id, pos, fp FROM sel"
+                " ORDER BY doc_id, pos\n")
+
+
+# ---------------------------------------------------------------------------
+# Winnow plagiarism pairs (MOSS-style document-overlap detection)
+# ---------------------------------------------------------------------------
+
+_PAIR_FP_CAP = 10      # a fingerprint in > cap docs is boilerplate,
+                       # not evidence (MOSS drops over-shared
+                       # fingerprints the same way) — and the cap IS
+                       # the scale guard: per-fingerprint pair fanout
+                       # is bounded by cap·(cap-1)/2
+_PAIR_MIN_SHARED = 5   # report pairs sharing >= this many fingerprints
+
+
+def winnow_plagiarism_pairs(sf_dir: str, cap: int = _PAIR_FP_CAP,
+                            min_shared: int = _PAIR_MIN_SHARED):
+    """MOSS-style overlap report (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03 §5: the winnowing paper's own application): document
+    pairs sharing at least ``min_shared`` distinct winnow
+    fingerprints, ignoring fingerprints present in more than ``cap``
+    documents.  Output (doc_a, doc_b, n_shared), doc_a < doc_b.
+
+    Plan (two bounded exchanges, text never shuffles):
+    1. per-batch vectorized winnow → distinct (fp, doc_id) rows; a
+       batch-local prune drops fps already over ``cap`` WITHIN the
+       batch (their global count can only be larger — safe);
+    2. ONE fp-hash exchange → per-partition run-length bucketing
+       (the `_bucket_pairs` idiom, dedup.py:111) emits each eligible
+       bucket's ≤ cap·(cap-1)/2 pairs and pre-sums duplicates into
+       (doc_a, doc_b, partial n_shared) — constant-factor
+       replication, never a cross join;
+    3. ONE pair exchange on doc_a sums partials and applies the
+       ``min_shared`` filter per partition.
+
+    Exact oracle: WINNOW_PAIRS_SQL (same winnow core CTE as
+    WINNOW_SQL, pair counting as a bounded self-join in SQL)."""
+    import pandas as pd
+
+    from .dedup import _runs_pairs
+    from .joins import default_partitions, exchange_map_partitions
+
+    nparts = default_partitions()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_doc, out_fp = [], []
+        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
+            fps = np.unique(_winnow_doc(text)[:, 1])
+            out_doc.append(np.full(len(fps), did, np.int64))
+            out_fp.append(fps)
+        doc = np.concatenate(out_doc) if out_doc else np.array([], np.int64)
+        fp = np.concatenate(out_fp) if out_fp else np.array([], np.int64)
+        # batch-local prune: a fp seen in > cap docs of THIS batch is
+        # over cap globally too.  Its rows collapse to ONE poison row
+        # (doc_id −1, sorts first in the bucket) rather than vanish —
+        # a partial drop would shrink the bucket below cap and wrongly
+        # re-eligate it; the poison marks the whole bucket dead while
+        # still cutting the hot fp's shuffle volume to one row here
+        if len(fp):
+            uniq, inv, counts = np.unique(fp, return_inverse=True,
+                                          return_counts=True)
+            hot = counts > cap
+            if hot.any():
+                keep = ~hot[inv]
+                doc, fp = doc[keep], fp[keep]
+                doc = np.concatenate([doc, np.full(int(hot.sum()), -1,
+                                                   np.int64)])
+                fp = np.concatenate([fp, uniq[hot]])
+        part = (fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(33)) % np.uint64(nparts)
+        return pa.table({
+            "fp": pa.array(fp, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "__part": pa.array(part.astype(np.int64), pa.int64()),
+        })
+
+    _pairs_schema = pa.schema([("doc_a", pa.int64()),
+                               ("doc_b", pa.int64()),
+                               ("n_shared", pa.int64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["fp", "doc_id"], kind="stable")
+        keys = df["fp"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+        if len(ids) == 0:
+            return _pairs_schema.empty_table()
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        run_id = np.cumsum(change) - 1
+        sizes = np.bincount(run_id)
+        starts = np.cumsum(sizes) - sizes
+        # a poison row (doc_id −1, always first in its ascending run)
+        # marks a bucket some upstream batch already proved over-cap
+        keep = (sizes >= 2) & (sizes <= cap) & (ids[starts] != -1)
+        a, b = _runs_pairs(ids[keep[run_id]], sizes[keep])
+        # partial combine: the same pair appears once per shared fp
+        # in this partition — pre-sum before the second exchange
+        part = pd.DataFrame({"doc_a": a, "doc_b": b}) \
+            .groupby(["doc_a", "doc_b"], sort=False).size() \
+            .rename("n_shared").reset_index()
+        return pa.Table.from_pandas(part, schema=_pairs_schema,
+                                    preserve_index=False)
+
+    def finish_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["doc_a", "doc_b"], sort=False,
+                                   as_index=False)["n_shared"].sum()
+        df = df[df["n_shared"] >= min_shared]
+        return pa.Table.from_pandas(df, schema=_pairs_schema,
+                                    preserve_index=False)
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    partials = exchange_map_partitions(rows, "__part", nparts,
+                                       bucket_pairs)
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(nparts)
+        return t.append_column("__part",
+                               pa.array(part.astype(np.int64), pa.int64()))
+
+    tagged = partials.map_batches(tag_pair, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    out = exchange_map_partitions(tagged, "__part", nparts, finish_pairs)
+    # explicit schema: a nothing-passes-threshold corpus must still
+    # yield (doc_a, doc_b, n_shared) columns, not a zero-column table
+    return sorted_small(out, ["doc_a", "doc_b"], schema=_pairs_schema)
+
+
+WINNOW_PAIRS_SQL = (_WINNOW_CORE_SQL + f""",
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+eligible AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {_PAIR_FP_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_shared
+  FROM fps a
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN eligible e ON e.fp = a.fp
+  GROUP BY a.doc_id, b.doc_id
 )
-SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
-"""
+SELECT doc_a, doc_b, n_shared FROM pairs
+WHERE n_shared >= {_PAIR_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""")
 
 
 # ---------------------------------------------------------------------------
