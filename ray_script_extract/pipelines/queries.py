@@ -2071,14 +2071,17 @@ QUERIES: Dict[str, Callable] = {
 }
 
 from .similarity import (  # noqa: E402
+    HARD_NEGATIVES_SQL,
     knn_cosine_ivf,
     knn_cosine_sq8,
+    mine_hard_negatives,
     near_dup_embeddings_lsh,
 )
 
 QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
 QUERIES["knn_cosine_sq8"] = knn_cosine_sq8
 QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
+QUERIES["mine_hard_negatives"] = mine_hard_negatives
 
 from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
@@ -2187,6 +2190,7 @@ ORACLE_SQL: Dict[str, str] = {
     "word_frequency": WORD_FREQUENCY_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "knn_cosine": KNN_COSINE_SQL,
+    "mine_hard_negatives": HARD_NEGATIVES_SQL,
     "near_dup_embeddings": NEAR_DUP_EMB_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,

@@ -543,3 +543,126 @@ def knn_cosine_sq8(sf_dir: str, n_queries: int = 4, k: int = 5):
         return df[["query_id", "vec_id", "rank"]]
 
     return sorted_small(hash_partitioned_map(scored, ["query_id"], topk), ["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair construction)
+# ---------------------------------------------------------------------------
+
+def mine_hard_negatives(sf_dir: str, n_queries: int = 8):
+    """Contrastive-pair mining for embedding-model training (the
+    in-batch/hard-negative recipe of DPR — Karpukhin et al.
+    EMNLP'20 §3.2 — and Sentence-BERT fine-tuning): for each query
+    vector, the most-similar SAME-label vector is the positive and
+    the most-similar DIFFERENT-label vector the hard negative.
+    Output (query_id, pos_id, pos_score, neg_id, neg_score), one row
+    per query that has BOTH sides (a query whose label no other
+    vector shares is dropped — mirrors the oracle's inner join).
+
+    Plan: the n query vectors + labels broadcast once (`ray.put`,
+    row-filtered read); each batch computes one matmul against them
+    and emits only its LOCAL top-1 per (query, side) — top-1
+    distributes over the (score desc, vec_id asc) total order, so
+    the shuffle carries ≤ 2·n_queries rows per block regardless of
+    corpus size; ONE query_id exchange picks the global winners and
+    pivots wide.  Scores round to 4 decimals on both engines (the
+    knn_cosine convention) so the numpy-vs-DuckDB float kernel
+    difference can't flip a boundary winner."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", n_queries)])
+    q_ids = np.asarray(t["vec_id"])
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    q = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)[order]
+    q_labels = np.asarray(t["label"], dtype=np.int64)[order]
+    q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm, q_labels))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_norm, q_labels = ray.get(q_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ q_norm.T, 4)
+        out_q, out_v, out_s, out_p = [], [], [], []
+        for j, qid in enumerate(q_ids):
+            not_self = vec_ids != qid
+            for is_pos in (True, False):
+                side = not_self & ((labels == q_labels[j]) == is_pos)
+                if not side.any():
+                    continue
+                v, s = vec_ids[side], sims[side, j]
+                top = np.lexsort((v, -s))[0]
+                out_q.append(qid)
+                out_v.append(v[top])
+                out_s.append(s[top])
+                out_p.append(is_pos)
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+            "score": pa.array(np.asarray(out_s, np.float64), pa.float64()),
+            "is_pos": pa.array(out_p, pa.bool_()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    from .joins import hash_partitioned_map
+
+    _schema = pa.schema([("query_id", pa.int64()),
+                         ("pos_id", pa.int64()),
+                         ("pos_score", pa.float64()),
+                         ("neg_id", pa.int64()),
+                         ("neg_score", pa.float64())])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        best = df.groupby(["query_id", "is_pos"], sort=False).head(1)
+        pos = best[best["is_pos"]].set_index("query_id")
+        neg = best[~best["is_pos"]].set_index("query_id")
+        both = pos.index.intersection(neg.index)
+        return pd.DataFrame({
+            "query_id": both.to_numpy(np.int64),
+            "pos_id": pos.loc[both, "vec_id"].to_numpy(np.int64),
+            "pos_score": pos.loc[both, "score"].to_numpy(np.float64),
+            "neg_id": neg.loc[both, "vec_id"].to_numpy(np.int64),
+            "neg_score": neg.loc[both, "score"].to_numpy(np.float64),
+        })
+
+    out = hash_partitioned_map(scored, ["query_id"], finish)
+    return sorted_small(out, ["query_id"], schema=_schema)
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label = q.ql AS is_pos,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+best AS (
+  SELECT query_id, is_pos, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id, is_pos
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT p.query_id, p.vec_id AS pos_id, p.score AS pos_score,
+       n.vec_id AS neg_id, n.score AS neg_score
+FROM best p
+JOIN best n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND p.is_pos AND n.rn = 1 AND NOT n.is_pos
+ORDER BY p.query_id
+"""
