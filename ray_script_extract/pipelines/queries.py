@@ -2072,6 +2072,8 @@ QUERIES: Dict[str, Callable] = {
 
 from .similarity import (  # noqa: E402
     HARD_NEGATIVES_SQL,
+    KNN_CLASSIFY_SQL,
+    knn_classify,
     knn_cosine_ivf,
     knn_cosine_sq8,
     mine_hard_negatives,
@@ -2082,6 +2084,7 @@ QUERIES["knn_cosine_ivf"] = knn_cosine_ivf
 QUERIES["knn_cosine_sq8"] = knn_cosine_sq8
 QUERIES["near_dup_embeddings_lsh"] = near_dup_embeddings_lsh
 QUERIES["mine_hard_negatives"] = mine_hard_negatives
+QUERIES["knn_classify"] = knn_classify
 
 from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
@@ -2191,6 +2194,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "knn_cosine": KNN_COSINE_SQL,
     "mine_hard_negatives": HARD_NEGATIVES_SQL,
+    "knn_classify": KNN_CLASSIFY_SQL,
     "near_dup_embeddings": NEAR_DUP_EMB_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
@@ -3104,6 +3108,13 @@ QUERIES["rerank_mmr"] = rerank_mmr
 # rows-only: greedy argmax chains are not SQL-expressible; exact
 # corpus-wide equality when candidates cover the corpus + naive-twin
 # equality pinned in tests/test_mmr.py
+
+from .pca import pca_project  # noqa: E402
+
+QUERIES["pca_project"] = pca_project
+# rows-only: eigendecompositions are not SQL-expressible; covariance
+# and projection pinned against a single-process numpy twin and the
+# shuffle-combine fold path in tests/test_pca.py
 
 ORACLE_SQL["q2_min_cost_supplier"] = Q2_SQL
 ORACLE_SQL["q9_profit_by_nation"] = Q9_SQL

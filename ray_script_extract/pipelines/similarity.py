@@ -666,3 +666,131 @@ JOIN best n ON p.query_id = n.query_id
 WHERE p.rn = 1 AND p.is_pos AND n.rn = 1 AND NOT n.is_pos
 ORDER BY p.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification (majority vote over the k nearest)
+# ---------------------------------------------------------------------------
+
+def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """kNN classification over the embedding column (Fix & Hodges
+    1951 / Cover & Hart 1967 — the standard quality-classifier
+    baseline for labeling training corpora): each query vector is
+    assigned the majority label among its k nearest neighbors by
+    cosine (self excluded); vote ties break to the SMALLEST label so
+    the decision is a total order.  Output one row per query:
+    (query_id, true_label, pred_label, votes).
+
+    Plan is `knn_cosine`'s (queries broadcast once via ``ray.put``
+    from a row-filtered read; each batch's matmul prunes to its
+    LOCAL top-k per query — top-k distributes over the (score desc,
+    vec_id asc) total order — so the shuffle carries ≤ k·n_queries
+    rows per block regardless of corpus size); ONE query_id exchange
+    picks the global top-k and counts the votes in the same task.
+    Scores round to 4 decimals on both engines (the knn_cosine
+    convention) so a numpy-vs-DuckDB float difference can't flip a
+    boundary neighbor."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", n_queries)])
+    q_ids = np.asarray(t["vec_id"])
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    q = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)[order]
+    q_true = np.asarray(t["label"], dtype=np.int64)[order]
+    q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm, q_true))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_norm, q_true = ray.get(q_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ q_norm.T, 4)
+        out_q, out_t, out_v, out_l, out_s = [], [], [], [], []
+        for j, qid in enumerate(q_ids):
+            keep = vec_ids != qid
+            v, l, s = vec_ids[keep], labels[keep], sims[keep, j]
+            top = np.lexsort((v, -s))[:k]
+            out_q.append(np.full(len(top), qid, np.int64))
+            out_t.append(np.full(len(top), q_true[j], np.int64))
+            out_v.append(v[top])
+            out_l.append(l[top])
+            out_s.append(s[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "true_label": pa.array(np.concatenate(out_t), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "label": pa.array(np.concatenate(out_l), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    from .joins import hash_partitioned_map
+
+    _schema = pa.schema([("query_id", pa.int64()),
+                         ("true_label", pa.int64()),
+                         ("pred_label", pa.int64()),
+                         ("votes", pa.int64())])
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        topk = df.groupby("query_id", sort=False).head(k)
+        counts = (topk.groupby(["query_id", "true_label", "label"],
+                               sort=False).size().reset_index(name="votes")
+                  .sort_values(["query_id", "votes", "label"],
+                               ascending=[True, False, True],
+                               kind="stable"))
+        win = counts.groupby("query_id", sort=False).head(1)
+        return pd.DataFrame({
+            "query_id": win["query_id"].to_numpy(np.int64),
+            "true_label": win["true_label"].to_numpy(np.int64),
+            "pred_label": win["label"].to_numpy(np.int64),
+            "votes": win["votes"].to_numpy(np.int64),
+        })
+
+    out = hash_partitioned_map(scored, ["query_id"], vote)
+    return sorted_small(out, ["query_id"], schema=_schema)
+
+
+KNN_CLASSIFY_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  CAST(label AS BIGINT) AS true_label
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id,
+         CAST(e.label AS BIGINT) AS label,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, vec_id, label, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 5
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, label AS pred_label, votes
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS rn
+      FROM votes)
+WHERE rn = 1
+ORDER BY query_id
+"""
