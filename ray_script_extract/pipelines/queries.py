@@ -997,6 +997,90 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def event_value_trend(sf_dir: str):
+    """Grouped OLS trend (drift detection): per event type, the
+    least-squares regression of value on event day, reported as EXACT
+    integer ratios — slope = slope_num/slope_den, intercept =
+    intercept_num/slope_den — with x = days since 2024-01-01 and
+    y = value cents.  The normal-equation moments make the whole
+    regression integer arithmetic (the cents trick extended to second
+    moments), so Ray and DuckDB agree bit-for-bit with no
+    float-summation ordering risk.
+
+    Shape: OLS needs only (n, Σx, Σy, Σxy, Σx²) per group, so each
+    block collapses to ≤ |types| constant-size moment rows
+    (`_batch_partial`) and the all-to-all moves KB at any corpus
+    size; the finish is pure arithmetic on the |types|-row aggregate.
+    int64 moments are overflow-safe here because x is a bounded
+    window-day index and y bounded cents (≤2^16 · 2^5 per row, ~2^53
+    worst-case cross products at sf0.1); a wider window widens the
+    moment columns to decimal128 the same way.
+
+    No reference counterpart (single-document converter); extends the
+    stream-analytics family (cf. daily_event_counts)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        x = (ts.astype("datetime64[D]")
+             - np.datetime64("2024-01-01")).astype(np.int64)
+        y = _cents_np(batch.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+        })
+        return _batch_partial(t, ["event_type"], ["sx", "sy", "sxy", "sxx"])
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("event_type")
+             .aggregate(Sum("__n", alias_name="n_events"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy"),
+                        Sum("sxx", alias_name="sxx")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(n, pa.int64()),
+            "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+            "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+            "intercept_num": pa.array(sy * sxx - sx * sxy, pa.int64()),
+        })
+
+    return sorted_small(agg.map_batches(finish, batch_format="pyarrow"),
+                        "event_type")
+
+
+EVENT_VALUE_TREND_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_events,
+       CAST(n_events*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n_events*sxx - sx*sx AS BIGINT) AS slope_den,
+       CAST(sy*sxx - sx*sxy AS BIGINT) AS intercept_num
+FROM s ORDER BY event_type
+"""
+
+
 def events_asof_last_signup(sf_dir: str):
     """As-of join (a custom operator Ray Data lacks): for every
     purchase event, the timestamp of the same user's most recent
@@ -2039,6 +2123,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_above_global_avg": orders_above_global_avg,
     "events_by_type": events_by_type,
     "daily_event_counts": daily_event_counts,
+    "event_value_trend": event_value_trend,
     "events_sessionize": events_sessionize,
     "events_asof_last_signup": events_asof_last_signup,
     "event_value_percentiles": event_value_percentiles,
@@ -2177,6 +2262,7 @@ ORACLE_SQL: Dict[str, str] = {
     "orders_above_global_avg": ABOVE_AVG_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "daily_event_counts": DAILY_EVENTS_SQL,
+    "event_value_trend": EVENT_VALUE_TREND_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_asof_last_signup": EVENTS_ASOF_SQL,
     "event_value_percentiles": EVENT_PERCENTILES_SQL,
