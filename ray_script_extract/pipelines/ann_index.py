@@ -267,7 +267,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
            WHERE vec_id < 4),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),

@@ -446,3 +446,109 @@ def decontaminate_bloom(sf_dir: str, k: int = 3,
 
     return sorted_small(ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space (semantic) decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate_embeddings(sf_dir: str, n_eval: int = 8,
+                             threshold: float = 0.30):
+    """Semantic decontamination: flag corpus vectors whose cosine to
+    ANY eval-set vector reaches ``threshold`` — the embedding-space
+    complement of the n-gram scrub (paraphrased eval leakage that
+    shares no 13-gram, cf. the contamination audits in GPT-4 /
+    Llama-2 reports and SemDeDup's cross-split variant).
+
+    The eval side is tiny by construction (vec_id < n_eval here; a
+    real deployment feeds its eval-suite embeddings), so its
+    normalized matrix is **broadcast once via ``ray.put``** and the
+    corpus streams through ONE shuffle-free ``map_batches`` matmul
+    pass — per batch O(B·E·d), no all-to-all at any corpus size; the
+    only exchange is the final bounded doc-order sort.  Output one row
+    per non-eval vector: (vec_id, nearest_eval_id, max_sim,
+    contaminated 0/1) — a labeling pass, like split_train_val_test,
+    so downstream filters stay streaming.
+
+    Scores use the knn_cosine convention (round(cos, 4) on both
+    engines) so a numpy-vs-DuckDB float difference can't flip the
+    threshold compare; ties on max_sim break to the SMALLEST eval id
+    (argmax picks the first maximum of the eval-id-ascending columns).
+    The oracle casts the lists to DOUBLE[] BEFORE
+    list_cosine_similarity: DuckDB evaluates it in the list's own
+    type, and float32 cosines differ from numpy's float64 by ~1e-8 —
+    enough to straddle a 1e-4 rounding boundary (observed at sf0.01:
+    0.14394999 vs 0.14395000).  With the cast both engines agree to
+    1 ulp, and every embedding-family oracle now shares it.
+
+    No reference counterpart (single-document converter); completes
+    the decontamination family: n-gram exact / bloom bounded-memory /
+    embedding semantic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_eval)])
+    e_ids = np.asarray(t["vec_id"])
+    order = np.argsort(e_ids)
+    e_ids = e_ids[order]
+    e = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)[order]
+    e_norm = e / np.linalg.norm(e, axis=1, keepdims=True)
+    eval_ref = ray.put((e_ids, e_norm))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        e_ids, e_norm = ray.get(eval_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = vec_ids >= n_eval
+        if not sel.any():
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "nearest_eval_id": pa.array([], pa.int64()),
+                "max_sim": pa.array([], pa.float64()),
+                "contaminated": pa.array([], pa.int64()),
+            })
+        kept = batch.filter(pa.array(sel))
+        vec_ids = kept.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.vstack(kept.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ e_norm.T, 4)
+        best = sims.argmax(axis=1)          # first max → smallest eval id
+        mx = sims[np.arange(len(sims)), best]
+        return pa.table({
+            "vec_id": pa.array(vec_ids.astype(np.int64), pa.int64()),
+            "nearest_eval_id": pa.array(e_ids[best].astype(np.int64),
+                                        pa.int64()),
+            "max_sim": pa.array(mx, pa.float64()),
+            "contaminated": pa.array((mx >= threshold).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return sorted_small(ds.map_batches(flag, batch_format="pyarrow",
+                                       zero_copy_batch=True), "vec_id")
+
+
+DECONTAM_EMB_SQL = """
+WITH q AS (SELECT vec_id AS eval_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, q.eval_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 4) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 8
+),
+best AS (
+  SELECT vec_id, eval_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, eval_id) AS rn
+  FROM scored
+)
+SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim,
+       CAST(sim >= 0.30 AS BIGINT) AS contaminated
+FROM best WHERE rn = 1 ORDER BY vec_id
+"""

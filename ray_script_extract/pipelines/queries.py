@@ -1983,7 +1983,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
            WHERE vec_id < 4),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),
@@ -2053,7 +2053,7 @@ def near_dup_embeddings(sf_dir: str, threshold: float = 0.4,
 NEAR_DUP_EMB_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -2731,6 +2731,11 @@ from .decontam import DECONTAM_BLOOM_SQL, decontaminate_bloom  # noqa: E402
 # property additionally stays pinned in tests/test_decontam.py
 QUERIES["decontaminate_bloom"] = decontaminate_bloom
 ORACLE_SQL["decontaminate_bloom"] = DECONTAM_BLOOM_SQL
+
+from .decontam import DECONTAM_EMB_SQL, decontaminate_embeddings  # noqa: E402
+
+QUERIES["decontaminate_embeddings"] = decontaminate_embeddings
+ORACLE_SQL["decontaminate_embeddings"] = DECONTAM_EMB_SQL
 
 
 def customer_urgent_counts(sf_dir: str):

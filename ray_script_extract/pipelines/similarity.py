@@ -649,7 +649,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
            FROM embeddings WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, e.vec_id, e.label = q.ql AS is_pos,
-         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),
@@ -772,7 +772,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
 scored AS (
   SELECT q.query_id, q.true_label, e.vec_id,
          CAST(e.label AS BIGINT) AS label,
-         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS score
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -135,3 +136,78 @@ def test_bloom_superset_and_default_exactness(tmp_path):
         again = decontaminate_bloom(sf_dir, m_bits=1 << 10).to_pandas()
         pd.testing.assert_frame_equal(tiny.reset_index(drop=True),
                                       again.reset_index(drop=True))
+
+
+def _write_emb(tmp_path, vecs):
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_decontam_geometry_and_oracle(tmp_path):
+    """Hand-computable unit-circle geometry incl. an exact rounding
+    tie (45° equidistant from both eval vectors → smallest eval id),
+    plus the DuckDB oracle on the same crafted table."""
+    import duckdb
+
+    from ray_script_extract.pipelines.decontam import (
+        DECONTAM_EMB_SQL,
+        decontaminate_embeddings,
+    )
+
+    deg = [0, 90,        # eval set (vec_id 0, 1)
+           10,           # cos10=0.9848 to eval0 -> contaminated
+           60,           # cos60=0.5 / cos30=0.8660 -> nearest eval1
+           45,           # 0.7071 to BOTH (4-dec tie) -> eval0 wins
+           200]          # cos200=-0.94 / cos110=-0.34 -> clean
+    vecs = [(np.cos(np.radians(d)), np.sin(np.radians(d))) for d in deg]
+    sf = _write_emb(tmp_path, vecs)
+
+    got = decontaminate_embeddings(sf, n_eval=2).to_pandas() \
+        .reset_index(drop=True)
+    assert got["vec_id"].tolist() == [2, 3, 4, 5]
+    assert got["nearest_eval_id"].tolist() == [0, 1, 0, 1]
+    assert got["max_sim"].tolist() == [0.9848, 0.866, 0.7071, -0.342]
+    assert got["contaminated"].tolist() == [1, 1, 1, 0]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(
+        DECONTAM_EMB_SQL.replace("vec_id < 8", "vec_id < 2")
+                        .replace("vec_id >= 8", "vec_id >= 2")).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_decontam_matches_naive_on_sf():
+    import pyarrow.parquet as pq
+
+    from ray_script_extract.pipelines.decontam import (
+        decontaminate_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    assert np.array_equal(np.asarray(t["vec_id"]), np.arange(len(m)))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn[8:] @ mn[:8].T, 4)
+    best = sims.argmax(axis=1)
+    mx = sims[np.arange(len(sims)), best]
+
+    got = decontaminate_embeddings(sf).to_pandas().reset_index(drop=True)
+    assert got["vec_id"].tolist() == list(range(8, len(m)))
+    assert np.array_equal(got["nearest_eval_id"].to_numpy(), best)
+    assert np.array_equal(got["max_sim"].to_numpy(), mx)
+    assert np.array_equal(got["contaminated"].to_numpy(),
+                          (mx >= 0.30).astype(np.int64))
+    assert 0 < got["contaminated"].sum() < len(got)
