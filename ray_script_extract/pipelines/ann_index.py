@@ -104,10 +104,16 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
             return batch.append_column("list_id",
                                        pa.array(lists, pa.int64()))
 
+        # min_rows_per_file coalesces the many small read blocks so a
+        # partition is a few well-sized files, not one tiny file per
+        # (input block × partition) — file-open cost dominated the
+        # probe read otherwise (895 files at sf0.1).  At 100 TB blocks
+        # are already large and the knob is a no-op.
         _read_emb(sf_dir).map_batches(
             assign, batch_format="pyarrow", zero_copy_batch=True) \
             .write_parquet(os.path.join(tmp_dir, "lists"),
-                           partition_cols=["list_id"])
+                           partition_cols=["list_id"],
+                           min_rows_per_file=64_000)
         # centroids persist as rows so the query step never refits
         dim = centroids.shape[1]
         pq.write_table(
@@ -169,6 +175,14 @@ def _ensure_index(sf_dir: str, n_clusters: int) -> str:
     key = (sf_dir, n_clusters, _corpus_fingerprint(sf_dir))
     d = _SHARED_INDEX.get(key)
     if d is not None and os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    # A completed build from an EARLIER process: the fingerprint in the
+    # dir name proves it matches the current corpus, so adopt it
+    # without build_ivf_index's manifest pass (that pass reads every
+    # list file — ~5 s of pure file-open cost the query doesn't need).
+    d = _default_index_dir(sf_dir, n_clusters)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        _SHARED_INDEX[key] = d
         return d
     build_ivf_index(sf_dir, n_clusters=n_clusters)
     return _SHARED_INDEX[key]
