@@ -2083,7 +2083,11 @@ from .multimodal import media_features, media_thumbnails  # noqa: E402
 from .text_analysis import (  # noqa: E402
     BIGRAM_COVERAGE_SQL,
     BM25_SQL,
+    CCNET_BUCKETS_SQL,
     DOC_QUALITY_SQL,
+    GOPHER_QUALITY_SQL,
+    ccnet_quality_buckets,
+    gopher_quality_filter,
     LANGID_SQL,
     REPETITION_SQL,
     SCRUB_PASSAGES_SQL,
@@ -2145,6 +2149,8 @@ QUERIES: Dict[str, Callable] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "doc_quality": doc_quality,
+    "gopher_quality_filter": gopher_quality_filter,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
     "langid_ngram": langid_ngram,
@@ -2307,6 +2313,8 @@ ORACLE_SQL: Dict[str, str] = {
     "bm25_search": BM25_SQL,
     "doc_bigram_coverage": BIGRAM_COVERAGE_SQL,
     "word_pmi_pairs": WORD_PMI_SQL,
+    "gopher_quality_filter": GOPHER_QUALITY_SQL,
+    "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     "scrub_repeated_passages": SCRUB_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,

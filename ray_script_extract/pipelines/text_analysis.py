@@ -1795,3 +1795,234 @@ scored AS (
 SELECT w1, w2, pair_count, score FROM scored
 ORDER BY score DESC, w1, w2 LIMIT {_PMI_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al., "Scaling Language Models: ... Gopher",
+# 2021, Appendix A) — the composite document-level filter every modern
+# pretraining pipeline runs some variant of.
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 50          # Gopher: 50 <= words <= 100,000
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3        # mean word length in [3, 10]
+_GOPHER_MAX_MEAN_LEN = 10
+_GOPHER_ALPHA_NUM = 4           # >= 80% of words contain an alphabetic
+_GOPHER_ALPHA_DEN = 5           #   character (5*n_alpha >= 4*n_words)
+_GOPHER_MIN_STOP = 2            # >= 2 stop words present (Gopher's
+                                #   "harmful" boilerplate signal; the
+                                #   canonical paper list is 8 English
+                                #   function words — we use the module
+                                #   STOPWORDS so the rule has variance
+                                #   on the synthetic vocabulary)
+
+
+def _gopher_metrics(texts: "pa.Array | pa.ChunkedArray"):
+    """Vectorized per-doc (n_words, sum_word_len, n_alpha_words,
+    n_stop_hits) — same tokenization as ``quality_metrics`` (lowercase,
+    split on whitespace runs, drop empty edge tokens) so the DuckDB
+    ``regexp_extract_all(lower(text), '\\S+')`` oracle is exact."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    seg_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    bounds = np.zeros(len(seg_len) + 1, np.int64)
+    np.cumsum(seg_len, out=bounds[1:])
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64) * valid
+    alpha = np.logical_and(
+        pc.match_substring_regex(flat, "[a-z]")
+          .to_numpy(zero_copy_only=False), valid)
+    stop = np.logical_and(
+        pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False),
+        valid)
+
+    def seg_sum(vals: np.ndarray) -> np.ndarray:
+        cs = np.zeros(len(vals) + 1, np.int64)
+        np.cumsum(vals, out=cs[1:])
+        return cs[bounds[1:]] - cs[bounds[:-1]]
+
+    return seg_sum(valid), seg_sum(tok_len), seg_sum(alpha), seg_sum(stop)
+
+
+def gopher_quality_filter(sf_dir: str):
+    """Per-document Gopher rule verdicts, all integer-exact.
+
+    One shuffle-free ``map_batches`` pass; every rule is integer
+    arithmetic (the mean-word-length band [3, 10] is evaluated as
+    ``3*n <= sum_len <= 10*n`` — no float division), so the DuckDB
+    oracle matches bit-for-bit.  The line-shape rules (bullet/ellipsis
+    line fractions) are omitted: the synthetic corpus is single-line
+    by construction, and those rules are line-ratio arithmetic over
+    the same machinery.  Reference parity: the per-record
+    filter/normalizer discipline of SURVEY §2.2 applied to the Gopher
+    ruleset."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        n_words, sum_len, n_alpha, n_stop = \
+            _gopher_metrics(batch.column("text"))
+        word_ok = ((n_words >= _GOPHER_MIN_WORDS)
+                   & (n_words <= _GOPHER_MAX_WORDS)).astype(np.int64)
+        mean_ok = ((sum_len >= _GOPHER_MIN_MEAN_LEN * n_words)
+                   & (sum_len <= _GOPHER_MAX_MEAN_LEN * n_words)
+                   & (n_words > 0)).astype(np.int64)
+        alpha_ok = (_GOPHER_ALPHA_DEN * n_alpha
+                    >= _GOPHER_ALPHA_NUM * n_words).astype(np.int64)
+        stop_ok = (n_stop >= _GOPHER_MIN_STOP).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "sum_word_len": pa.array(sum_len, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha, pa.int64()),
+            "n_stop_hits": pa.array(n_stop, pa.int64()),
+            "word_count_ok": pa.array(word_ok, pa.int64()),
+            "mean_len_ok": pa.array(mean_ok, pa.int64()),
+            "alpha_ok": pa.array(alpha_ok, pa.int64()),
+            "stop_ok": pa.array(stop_ok, pa.int64()),
+            "gopher_pass": pa.array(word_ok & mean_ok & alpha_ok & stop_ok,
+                                    pa.int64()),
+        })
+
+    return sorted_small(ds.map_batches(run, batch_format="pyarrow",
+                                       zero_copy_batch=True), "doc_id")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS sum_word_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS n_alpha_words,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST})))
+           AS n_stop_hits
+  FROM t
+),
+v AS (
+  SELECT doc_id, n_words,
+         CAST(sum_word_len AS BIGINT) AS sum_word_len,
+         n_alpha_words, n_stop_hits,
+         CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+              AS BIGINT) AS word_count_ok,
+         CAST(sum_word_len >= {_GOPHER_MIN_MEAN_LEN} * n_words
+              AND sum_word_len <= {_GOPHER_MAX_MEAN_LEN} * n_words
+              AND n_words > 0 AS BIGINT) AS mean_len_ok,
+         CAST({_GOPHER_ALPHA_DEN} * n_alpha_words
+              >= {_GOPHER_ALPHA_NUM} * n_words AS BIGINT) AS alpha_ok,
+         CAST(n_stop_hits >= {_GOPHER_MIN_STOP} AS BIGINT) AS stop_ok
+  FROM m
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+       word_count_ok, mean_len_ok, alpha_ok, stop_ok,
+       word_count_ok * mean_len_ok * alpha_ok * stop_ok AS gopher_pass
+FROM v ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet quality buckets (Wenzek et al., "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", LREC 2020) — per-language
+# head/middle/tail tiers by a fluency score, the standard corpus
+# tiering step before sampling weights are assigned.
+# ---------------------------------------------------------------------------
+
+_CCNET_SCALE = 1_000_000
+
+
+def ccnet_quality_buckets(sf_dir: str):
+    """Per-language tertile bucketing by an integer fluency score.
+
+    CCNet orders each language's documents by LM perplexity and cuts
+    head/middle/tail at the 33%/66% percentiles.  The perplexity
+    stand-in here is stopword density in ppm (``floor(1e6 * n_stop /
+    n_words)`` — higher = more function words = more natural), which
+    keeps the whole operator integer-exact; the tier assignment is
+    NTILE(3) over (score DESC, doc_id) so ties are deterministic.
+
+    Plan: one shuffle-free scoring pass, then ONE language-keyed
+    exchange (``hash_partitioned_map``) whose per-partition reduce is a
+    vectorized sort + NTILE arithmetic.  The per-task frame is bounded
+    by the largest language — CCNet's own partitioning unit.  At
+    100 TB-per-language scale the full in-partition sort would be
+    replaced by percentile CUTOFFS from the MRL quantile sketch
+    (``event_value_percentiles_sketch``) followed by a shuffle-free
+    bucket-assignment pass; documented, not needed at this corpus
+    bound."""
+    import pandas as pd
+
+    from .joins import hash_partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_words, n_stop, _ = quality_metrics(batch.column("text"))
+        ppm = (_CCNET_SCALE * n_stop) // np.maximum(n_words, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "score_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["score_ppm", "doc_id"],
+                              ascending=[False, True], kind="stable")
+            n = len(g)
+            # NTILE(3): the first n%3 tiles get floor(n/3)+1 rows —
+            # reproduced exactly so the SQL window oracle matches.
+            base, rem = divmod(n, 3)
+            pos = np.arange(n, dtype=np.int64)
+            big = rem * (base + 1)
+            tile = np.where(pos < big,
+                            pos // max(base + 1, 1),
+                            rem + (pos - big) // max(base, 1))
+            g = g.copy()
+            g["bucket"] = np.array(["head", "middle", "tail"])[
+                np.minimum(tile, 2)]
+            out.append(g)
+        return pd.concat(out, ignore_index=True) if out else \
+            df.assign(bucket=pd.Series(dtype=str))
+
+    return sorted_small(
+        hash_partitioned_map(scored, ["lang"], bucketize), "doc_id")
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST({_CCNET_SCALE} * len(list_filter(toks,
+                x -> x IN ({_STOP_SQL_LIST})))
+              // GREATEST(len(toks), 1) AS BIGINT) AS score_ppm
+  FROM t
+),
+b AS (
+  SELECT doc_id, lang, score_ppm,
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY score_ppm DESC, doc_id) AS nt
+  FROM m
+)
+SELECT doc_id, lang, score_ppm,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
+"""
