@@ -2085,8 +2085,10 @@ from .text_analysis import (  # noqa: E402
     BM25_SQL,
     CCNET_BUCKETS_SQL,
     DOC_QUALITY_SQL,
+    DSIR_SQL,
     GOPHER_QUALITY_SQL,
     ccnet_quality_buckets,
+    dsir_importance_weights,
     gopher_quality_filter,
     LANGID_SQL,
     REPETITION_SQL,
@@ -2151,6 +2153,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_quality": doc_quality,
     "gopher_quality_filter": gopher_quality_filter,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "dsir_importance_weights": dsir_importance_weights,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
     "langid_ngram": langid_ngram,
@@ -2315,6 +2318,7 @@ ORACLE_SQL: Dict[str, str] = {
     "word_pmi_pairs": WORD_PMI_SQL,
     "gopher_quality_filter": GOPHER_QUALITY_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
+    "dsir_importance_weights": DSIR_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     "scrub_repeated_passages": SCRUB_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,

@@ -2026,3 +2026,223 @@ SELECT doc_id, lang, score_ppm,
                ELSE 'tail' END AS bucket
 FROM b ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023) — the standard
+# target-aware data-selection score: how much more likely is this raw
+# document under the target (benchmark) unigram distribution than
+# under the raw-corpus distribution.
+# ---------------------------------------------------------------------------
+
+_DSIR_MOD = 20          # target slice = doc_id % 20 == 0 — the same
+                        # benchmark-slice convention decontam uses
+_DSIR_SCALE = 1_000_000
+
+
+def _unigram_rows(batch: pa.Table):
+    """(doc_ids, docix, unique words, inverse) for a documents batch —
+    tokenization identical to ``quality_metrics`` / the DuckDB
+    ``regexp_extract_all(lower(text), '\\S+')`` oracle.  Words come
+    back factorized: consumers bincount over ``pinv`` or probe the
+    uniques, so per-occurrence strings never materialize."""
+    import pandas as pd
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"\s+")
+    seg = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    docix = np.repeat(np.arange(len(doc_ids), dtype=np.int64), seg)
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    docix = docix[valid]
+    words = np.asarray(flat.to_numpy(zero_copy_only=False))[valid]
+    if len(words) == 0:
+        return (doc_ids, np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
+    pinv, uw = pd.factorize(words)
+    return doc_ids, docix, np.asarray(uw, object), pinv.astype(np.int64)
+
+
+def _dsir_weight_ppm(tc, rc, T, R, V):
+    """Laplace-smoothed integer likelihood ratio in ppm:
+    ``floor(1e6 * (tc+1)(R+V) / ((rc+1)(T+V)))``.  Computed in Python
+    arbitrary-precision ints (via object arrays) so the triple product
+    can never overflow int64 regardless of corpus size — the result
+    itself is a small ratio that always fits.  The SQL twin uses
+    HUGEINT for the same reason."""
+    num = (np.asarray(tc, object) + 1) * int(R + V) * _DSIR_SCALE
+    den = (np.asarray(rc, object) + 1) * int(T + V)
+    return np.asarray(num // den, dtype=np.int64)
+
+
+def dsir_importance_weights(sf_dir: str, force_join: bool = False):
+    """Per-raw-doc DSIR score: ``(doc_id, n_tokens, dsir_weight_ppm)``
+    where the weight is the sum over the doc's token OCCURRENCES of
+    the smoothed target/raw unigram likelihood ratio (ppm).  Higher =
+    closer to the target distribution = keep when resampling.
+
+    Plan: ONE word-keyed exchange reduces per-batch (word, target
+    count, raw count) partials; under the broadcast budget the scoring
+    pass is shuffle-free (sorted word/ppm arrays via ``ray.put``,
+    searchsorted probe per batch); above it — web-scale vocabulary —
+    occurrences join the weight table on a word exchange and per-doc
+    sums ride a doc_id exchange (``force_join`` pins the twin
+    bit-identical).  Zero-token raw docs emit no row, matching the SQL
+    join semantics."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        doc_ids, docix, uw, pinv = _unigram_rows(batch)
+        if len(uw) == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "tc": pa.array([], pa.int64()),
+                             "rc": pa.array([], pa.int64())})
+        is_target = (doc_ids[docix] % _DSIR_MOD == 0)
+        tc = np.bincount(pinv, weights=is_target,
+                         minlength=len(uw)).astype(np.int64)
+        rc = np.bincount(pinv, weights=~is_target,
+                         minlength=len(uw)).astype(np.int64)
+        return pa.table({"w": pa.array(uw, pa.string()),
+                         "tc": pa.array(tc, pa.int64()),
+                         "rc": pa.array(rc, pa.int64())})
+
+    cnt_tbl = groupby_agg_partitioned(
+        docs.map_batches(partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], {"tc": "sum", "rc": "sum"}).materialize()
+
+    # T/R/V are three scalars reduced distributedly off the word table
+    # — the driver never holds the vocabulary unless it fits the
+    # broadcast budget below.
+    agg = cnt_tbl.aggregate(Sum("tc"), Sum("rc"), Count())
+    T = int(agg.get("sum(tc)") or 0)
+    R = int(agg.get("sum(rc)") or 0)
+    V = int(agg.get("count()") or 0)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "dsir_weight_ppm": pa.array([], pa.int64())})
+
+    if 0 < V <= _VOCAB_BROADCAST_ROWS and not force_join:
+        tabs = [t for t in ray.get(cnt_tbl.to_arrow_refs()) if t.num_rows]
+        vdf = pa.concat_tables(tabs).to_pandas() \
+            .sort_values("w", kind="stable")
+        ppm = _dsir_weight_ppm(vdf["tc"].to_numpy(np.int64),
+                               vdf["rc"].to_numpy(np.int64), T, R, V)
+        handle = ray.put((vdf["w"].to_numpy(dtype=object), ppm))
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ray_script_extract import _tune_malloc
+            _tune_malloc()
+            ws, ppm = ray.get(handle)
+            doc_ids, docix, uw, pinv = _unigram_rows(batch)
+            raw_doc = doc_ids % _DSIR_MOD != 0
+            if len(uw) == 0 or not raw_doc.any():
+                return empty
+            pos = np.minimum(np.searchsorted(ws, uw), len(ws) - 1)
+            w_u = np.where(ws[pos] == uw, ppm[pos], 0).astype(np.int64)
+            n_docs = len(doc_ids)
+            n_tok = np.bincount(docix, minlength=n_docs).astype(np.int64)
+            # int64 scatter-add, not float-weighted bincount: ppm sums
+            # must stay exact past 2^53 at web-scale doc lengths
+            wsum = np.zeros(n_docs, np.int64)
+            np.add.at(wsum, docix, w_u[pinv])
+            keep = raw_doc & (n_tok > 0)
+            return pa.table({
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "dsir_weight_ppm": pa.array(wsum[keep], pa.int64()),
+            })
+
+        return sorted_small(docs.map_batches(score, batch_format="pyarrow",
+                                             zero_copy_batch=True),
+                            "doc_id")
+
+    if V == 0:
+        return sorted_small(ray.data.from_arrow(empty), "doc_id")
+
+    # ---- scale path: occurrences join weights by word -----------------
+    def occurrences(batch: pa.Table) -> pa.Table:
+        doc_ids, docix, uw, pinv = _unigram_rows(batch)
+        raw_occ = (doc_ids[docix] % _DSIR_MOD != 0) if len(pinv) \
+            else np.empty(0, bool)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[docix][raw_occ] if len(pinv) else
+                               np.empty(0, np.int64), pa.int64()),
+            "w": pa.array(uw[pinv][raw_occ] if len(pinv) else
+                          np.empty(0, object), pa.string()),
+            "ppm": pa.array(np.full(int(raw_occ.sum()), -1, np.int64),
+                            pa.int64()),
+        })
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    wt = cnt_tbl.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+            "w": t.column("w"),
+            "ppm": pa.array(_dsir_weight_ppm(
+                t.column("tc").to_numpy(zero_copy_only=False),
+                t.column("rc").to_numpy(zero_copy_only=False), T, R, V),
+                pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_score(part: pd.DataFrame) -> pd.DataFrame:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        w_rows = part[part["doc_id"] == -1]
+        o_rows = part[part["doc_id"] != -1]
+        m = o_rows[["doc_id", "w"]].merge(w_rows[["w", "ppm"]], on="w",
+                                          how="left")
+        m["ppm"] = m["ppm"].fillna(0).astype(np.int64)
+        g = m.groupby("doc_id", sort=False).agg(
+            n_tokens=("w", "size"), dsir_weight_ppm=("ppm", "sum"))
+        return g.reset_index().astype({"n_tokens": np.int64,
+                                       "dsir_weight_ppm": np.int64})
+
+    per_word = hash_partitioned_map(occ.union(wt), ["w"], join_score)
+
+    def resum(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("doc_id", sort=False).agg(
+            n_tokens=("n_tokens", "sum"),
+            dsir_weight_ppm=("dsir_weight_ppm", "sum"))
+        return g.reset_index().astype({"n_tokens": np.int64,
+                                       "dsir_weight_ppm": np.int64})
+
+    return sorted_small(hash_partitioned_map(per_word, ["doc_id"], resum),
+                        "doc_id")
+
+
+DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+cnt AS (
+  SELECT w,
+         SUM(CASE WHEN doc_id % {_DSIR_MOD} = 0 THEN 1 ELSE 0 END) AS tc,
+         SUM(CASE WHEN doc_id % {_DSIR_MOD} <> 0 THEN 1 ELSE 0 END) AS rc
+  FROM tok GROUP BY w
+),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt, COUNT(*) AS v FROM cnt),
+wt AS (
+  SELECT w,
+         CAST({_DSIR_SCALE}::HUGEINT * (tc + 1) * (rt + v)
+              // ((rc + 1) * (tt + v)) AS BIGINT) AS ppm
+  FROM cnt CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ppm) AS BIGINT) AS dsir_weight_ppm
+FROM tok JOIN wt USING (w)
+WHERE tok.doc_id % {_DSIR_MOD} <> 0
+GROUP BY tok.doc_id ORDER BY doc_id
+"""
