@@ -552,3 +552,123 @@ SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim,
        CAST(sim >= 0.30 AS BIGINT) AS contaminated
 FROM best WHERE rn = 1 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix — the inter-source duplication report a corpus
+# card publishes (e.g. the CommonCrawl dump-overlap matrices in the
+# RefinedWeb/FineWeb analyses): pairwise shingle Jaccard between
+# sources, sharing decontam's k=3 word-shingle + md5-mod-2^31 hash
+# convention so the SQL twin reuses the same CTE core.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SCALE = 1_000_000
+
+
+def source_overlap_matrix(sf_dir: str, k: int = 3):
+    """Pairwise source overlap: ``(source_a, source_b, n_shared,
+    jaccard_ppm)`` for every unordered source pair, zero-intersection
+    pairs included.
+
+    Plan: per batch emit batch-distinct (hash, source) rows — payload
+    is two small columns regardless of text size — then ONE
+    hash-keyed exchange makes each shingle's source set co-resident,
+    so per-partition self-merge pair counts and per-source distinct
+    sizes are GLOBAL partials that sum exactly (a shingle lives in
+    exactly one partition).  The final matrix is at most |sources|²
+    rows — collected driver-side, the bounded-decision-table
+    discipline.  Shingle text never moves; only int64 hashes shuffle."""
+    from .joins import hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = np.asarray(batch.column("source").to_pylist(), object)
+        doc_idx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        df = pd.DataFrame({"h": hashes, "source": srcs[doc_idx]}) \
+            .drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(np.int64)),
+                         "source": pa.array(df["source"], pa.string())})
+
+    pairs_src = docs.map_batches(emit, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()          # global dedupe: h-keyed
+        sizes = part.groupby("source", sort=False).size()
+        m = part.merge(part, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"], sort=False).size()
+        rows = [(a, a, int(n)) for a, n in sizes.items()] + \
+               [(a, b, int(n)) for (a, b), n in inter.items()]
+        return pd.DataFrame(rows, columns=["source_a", "source_b", "n"]) \
+            .astype({"n": np.int64})
+
+    part_tbl = hash_partitioned_map(pairs_src, ["h"], partials)
+
+    from .joins import groupby_agg_partitioned
+
+    agg = groupby_agg_partitioned(part_tbl, ["source_a", "source_b"],
+                                  {"n": "sum"})
+    small = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]) \
+        .to_pandas() if agg.count() else \
+        pd.DataFrame(columns=["source_a", "source_b", "n"])
+
+    sizes = {r.source_a: int(r.n) for r in small.itertuples()
+             if r.source_a == r.source_b}
+    inter = {(r.source_a, r.source_b): int(r.n) for r in small.itertuples()
+             if r.source_a != r.source_b}
+    out = []
+    for a in sorted(sizes):
+        for b in sorted(sizes):
+            if a >= b:
+                continue
+            i = inter.get((a, b), 0)
+            union = max(sizes[a] + sizes[b] - i, 1)
+            out.append((a, b, i, _OVERLAP_SCALE * i // union))
+    res = pd.DataFrame(out, columns=["source_a", "source_b", "n_shared",
+                                     "jaccard_ppm"]) \
+        .astype({"n_shared": np.int64, "jaccard_ppm": np.int64})
+    return res
+
+
+SOURCE_OVERLAP_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT source,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT source, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+hs AS (
+  SELECT DISTINCT source,
+         CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h FROM sh
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1.source AS source_a, s2.source AS source_b,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS n_shared,
+       CAST(1000000 * COALESCE(i.n, 0)
+            // GREATEST(s1.n + s2.n - COALESCE(i.n, 0), 1)
+            AS BIGINT) AS jaccard_ppm
+FROM sizes s1
+JOIN sizes s2 ON s1.source < s2.source
+LEFT JOIN inter i ON i.sa = s1.source AND i.sb = s2.source
+ORDER BY source_a, source_b
+"""

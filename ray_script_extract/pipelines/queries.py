@@ -2199,7 +2199,12 @@ from .curation import (  # noqa: E402
     split_train_val_test,
 )
 
-from .decontam import DECONTAM_SQL, decontaminate_ngrams  # noqa: E402
+from .decontam import (  # noqa: E402
+    DECONTAM_SQL,
+    SOURCE_OVERLAP_SQL,
+    decontaminate_ngrams,
+    source_overlap_matrix,
+)
 from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
 from .packing import PACK_WINDOWS_SQL, pack_context_windows  # noqa: E402
 
@@ -2210,6 +2215,7 @@ QUERIES["doc_bigram_coverage"] = doc_bigram_coverage
 QUERIES["word_pmi_pairs"] = word_pmi_pairs
 QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_quality_weighted"] = sample_quality_weighted
@@ -2308,6 +2314,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_near_keep_best": DEDUP_NEAR_KEEP_BEST_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,
