@@ -2087,9 +2087,11 @@ from .text_analysis import (  # noqa: E402
     DOC_QUALITY_SQL,
     DSIR_SQL,
     GOPHER_QUALITY_SQL,
+    NGRAM_DIVERSITY_SQL,
     ccnet_quality_buckets,
     dsir_importance_weights,
     gopher_quality_filter,
+    ngram_diversity,
     LANGID_SQL,
     REPETITION_SQL,
     SCRUB_PASSAGES_SQL,
@@ -2154,6 +2156,7 @@ QUERIES: Dict[str, Callable] = {
     "gopher_quality_filter": gopher_quality_filter,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "dsir_importance_weights": dsir_importance_weights,
+    "ngram_diversity": ngram_diversity,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
     "langid_ngram": langid_ngram,
@@ -2326,6 +2329,7 @@ ORACLE_SQL: Dict[str, str] = {
     "gopher_quality_filter": GOPHER_QUALITY_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_SQL,
+    "ngram_diversity": NGRAM_DIVERSITY_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     "scrub_repeated_passages": SCRUB_PASSAGES_SQL,
     # media_features etc.: non-SQL-expressible (model scoring,

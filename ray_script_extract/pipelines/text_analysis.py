@@ -2246,3 +2246,140 @@ FROM tok JOIN wt USING (w)
 WHERE tok.doc_id % {_DSIR_MOD} <> 0
 GROUP BY tok.doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram diversity (distinct-n, Li et al. NAACL'16 / Zhu et al.
+# 2018 "Texygen") — the standard text-diversity report: the fraction
+# of n-gram occurrences that are distinct, per n.  Near-zero
+# distinct-ppm at high n flags a template-heavy or decode-degenerate
+# corpus before training ever starts.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_NS = (1, 2, 3)
+
+
+def ngram_diversity(sf_dir: str):
+    """Corpus-level ``(n, n_total, n_distinct, distinct_ppm)`` for
+    n ∈ {1,2,3}.
+
+    Totals are shuffle-free per-batch partials summed on a 3-row
+    exchange.  Distinct counts need global dedupe, so batch-distinct
+    (n, gram) rows ride ONE gram-keyed exchange and each partition
+    counts its (globally unique) grams — the partials sum exactly
+    because a gram lives in exactly one partition.  Both reduced
+    tables are ≤ 3 rows; the join happens driver-side."""
+    import pandas as pd
+
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table):
+        """[(n, unique-gram array, occurrence count array)] per n."""
+        _, docix, uw, pinv = _unigram_rows(batch)
+        out = []
+        if len(pinv) == 0:
+            return out
+        codes = pinv
+        words = uw
+        for n in _DIVERSITY_NS:
+            if n == 1:
+                g = words[codes]
+            else:
+                if len(codes) < n:
+                    continue
+                same = docix[n - 1:] == docix[:-(n - 1)]
+                if not same.any():
+                    continue
+                parts = [words[codes[i:len(codes) - (n - 1) + i]]
+                         for i in range(n)]
+                joined = parts[0].astype(object)
+                for p in parts[1:]:
+                    joined = joined + " " + p.astype(object)
+                g = joined[same]
+            out.append((n, g))
+        return out
+
+    def totals(batch: pa.Table) -> pa.Table:
+        rows = [(n, len(g)) for n, g in grams(batch)]
+        return pa.table({
+            "n": pa.array([r[0] for r in rows], pa.int64()),
+            "n_total": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        ns, gs = [], []
+        for n, g in grams(batch):
+            u = np.unique(g.astype(str))
+            ns.append(np.full(len(u), n, np.int64))
+            gs.append(u)
+        if not ns:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        return pa.table({"n": pa.array(np.concatenate(ns), pa.int64()),
+                         "gram": pa.array(np.concatenate(gs), pa.string())})
+
+    tot_tbl = groupby_agg_partitioned(
+        docs.map_batches(totals, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["n"], {"n_total": "sum"})
+
+    def count_distinct(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        g = part.groupby("n", sort=False).size().rename("n_distinct")
+        return g.reset_index().astype({"n": np.int64,
+                                       "n_distinct": np.int64})
+
+    dist_part = hash_partitioned_map(
+        docs.map_batches(distinct_rows, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["gram"], count_distinct)
+    dist_tbl = groupby_agg_partitioned(dist_part, ["n"],
+                                       {"n_distinct": "sum"})
+
+    def small(ds_) -> pd.DataFrame:
+        tabs = [t for t in ray.get(ds_.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs).to_pandas() if tabs \
+            else pd.DataFrame()
+
+    t, d = small(tot_tbl), small(dist_tbl)
+    if t.empty:
+        return pd.DataFrame(columns=["n", "n_total", "n_distinct",
+                                     "distinct_ppm"]).astype(np.int64)
+    m = t.merge(d, on="n", how="left").fillna(0) \
+        .astype({"n_total": np.int64, "n_distinct": np.int64})
+    m["distinct_ppm"] = (1_000_000 * m["n_distinct"]
+                         // np.maximum(m["n_total"], 1)).astype(np.int64)
+    return m.sort_values("n").reset_index(drop=True)[
+        ["n", "n_total", "n_distinct", "distinct_ppm"]]
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT 1 AS n, unnest(ws) AS gram FROM t
+  UNION ALL
+  SELECT 2 AS n,
+         array_to_string(list_slice(ws, CAST(i AS INT),
+                                    CAST(i AS INT) + 1), ' ') AS gram
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+        FROM t WHERE len(ws) >= 2)
+  UNION ALL
+  SELECT 3 AS n,
+         array_to_string(list_slice(ws, CAST(i AS INT),
+                                    CAST(i AS INT) + 2), ' ') AS gram
+  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM t WHERE len(ws) >= 3)
+)
+SELECT n,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(1000000 * COUNT(DISTINCT gram)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS distinct_ppm
+FROM g GROUP BY n ORDER BY n
+"""
