@@ -2085,11 +2085,13 @@ from .text_analysis import (  # noqa: E402
     BM25_SQL,
     CCNET_BUCKETS_SQL,
     DOC_QUALITY_SQL,
+    DSIR_SELECT_SQL,
     DSIR_SQL,
     GOPHER_QUALITY_SQL,
     NGRAM_DIVERSITY_SQL,
     ccnet_quality_buckets,
     dsir_importance_weights,
+    dsir_select_top,
     gopher_quality_filter,
     ngram_diversity,
     LANGID_SQL,
@@ -2156,6 +2158,7 @@ QUERIES: Dict[str, Callable] = {
     "gopher_quality_filter": gopher_quality_filter,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "dsir_importance_weights": dsir_importance_weights,
+    "dsir_select_top": dsir_select_top,
     "ngram_diversity": ngram_diversity,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
@@ -2329,6 +2332,7 @@ ORACLE_SQL: Dict[str, str] = {
     "gopher_quality_filter": GOPHER_QUALITY_SQL,
     "ccnet_quality_buckets": CCNET_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_SQL,
+    "dsir_select_top": DSIR_SELECT_SQL,
     "ngram_diversity": NGRAM_DIVERSITY_SQL,
     "shared_passages": SHARED_PASSAGES_SQL,
     "scrub_repeated_passages": SCRUB_PASSAGES_SQL,

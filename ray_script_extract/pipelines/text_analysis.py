@@ -2383,3 +2383,56 @@ SELECT n,
             // GREATEST(COUNT(*), 1) AS BIGINT) AS distinct_ppm
 FROM g GROUP BY n ORDER BY n
 """
+
+
+def dsir_select_top(sf_dir: str, n_select: int = 100,
+                    force_join: bool = False):
+    """The DSIR SELECTION step: the ``n_select`` raw documents closest
+    to the target distribution — ``(rank, doc_id, n_tokens,
+    dsir_weight_ppm)`` ordered by (weight DESC, doc_id).
+
+    Composition over ``dsir_importance_weights``: each block keeps its
+    local top-``n_select`` (the knn per-block prune), so at most
+    blocks×n rows reach the bounded final sort regardless of corpus
+    size.  Xie et al. sample from a Gumbel-perturbed weight
+    distribution; the deterministic top-k variant is the reproducible
+    twin used when runs must be auditable (and gives the operator an
+    exact LIMIT oracle)."""
+    import pandas as pd
+
+    weights = dsir_importance_weights(sf_dir, force_join=force_join)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["dsir_weight_ppm", "doc_id"], ascending=[False, True],
+            kind="stable").head(n_select)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = weights.map_batches(prune, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    tabs = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pd.DataFrame(columns=["rank", "doc_id", "n_tokens",
+                                     "dsir_weight_ppm"]).astype(np.int64)
+    df = pa.concat_tables(tabs).to_pandas().sort_values(
+        ["dsir_weight_ppm", "doc_id"], ascending=[False, True],
+        kind="stable").head(n_select).reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df
+
+
+# The selection oracle embeds the weight CTE verbatim (shared core,
+# the winnow-pairs discipline) and ranks with ROW_NUMBER + LIMIT.
+DSIR_SELECT_SQL = f"""
+WITH base AS (
+{DSIR_SQL.strip()[:-1].rsplit('ORDER BY', 1)[0]}
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY dsir_weight_ppm DESC, doc_id)
+           AS rank, *
+  FROM base
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_tokens, dsir_weight_ppm
+FROM ranked WHERE rank <= 100 ORDER BY rank
+"""

@@ -71,3 +71,31 @@ def test_dsir_registry():
 
     assert "dsir_importance_weights" in QUERIES
     assert "dsir_importance_weights" in ORACLE_SQL
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_select_top(tmp_path):
+    import duckdb
+
+    from ray_script_extract.pipelines.text_analysis import (
+        DSIR_SELECT_SQL,
+        dsir_select_top,
+    )
+
+    _write_docs(tmp_path, [(0, "x x y"), (1, "x y y z"),
+                           (2, "x"), (3, "   ")])
+
+    got = _df(dsir_select_top(str(tmp_path))).reset_index(drop=True)
+    # doc 1 (3777775 ppm) outranks doc 2 (1333333 ppm)
+    assert got["rank"].tolist() == [1, 2]
+    assert got["doc_id"].tolist() == [1, 2]
+
+    # prune path engages when n_select < corpus: top-1 only
+    top1 = _df(dsir_select_top(str(tmp_path), n_select=1))
+    assert top1["doc_id"].tolist() == [1]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(DSIR_SELECT_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
