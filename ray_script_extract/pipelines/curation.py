@@ -944,3 +944,198 @@ r AS (SELECT lang, doc_id,
 SELECT r.lang, doc_id FROM r JOIN b USING (lang)
 WHERE rk <= budget ORDER BY lang, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end curation funnel — the FineWeb/RefinedWeb-style report
+# of how many documents survive each famous pipeline stage, as ONE
+# streaming job: train split → Gopher rules → exact dedup → n-gram
+# decontamination → DSIR above-par selection.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("raw", "train_split", "gopher_pass", "exact_dedup",
+                  "decontaminated", "dsir_above_par")
+
+
+def curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """``(stage_idx, stage, docs_remaining)`` after each cumulative
+    stage of the standard curation pipeline.
+
+    Every stage reuses the exact semantics of its standalone operator
+    (gopher_quality_filter, dedup_exact's keep-min, decontaminate_
+    ngrams' shingle membership, dsir_importance_weights' ppm scores),
+    so the SQL oracle is a composition of the same pinned CTE cores.
+
+    Plan: the DSIR vocabulary exchange and the benchmark shingle scan
+    run first (both bounded); their tables broadcast ONCE via
+    ``ray.put``.  Then a single map over documents computes gopher
+    verdicts, contamination flags and DSIR sums per batch — emitting
+    (text, doc_id, flags) only for train∩gopher survivors plus one
+    sentinel counts row per batch — and ONE text-keyed exchange
+    resolves exact-dedup winners and folds the flag counts.  Text
+    moves once; the final result is six rows.  Above either broadcast
+    budget the funnel refuses and points at the constituent pipelines,
+    whose partitioned twins are the scale path."""
+    from .decontam import _BENCH_MOD, _bench_hash_set, \
+        _doc_distinct_shingle_hashes
+    from .text_analysis import (_DSIR_MOD, _VOCAB_BROADCAST_ROWS,
+                                _dsir_counts, _dsir_ppm_arrays,
+                                _gopher_metrics, _unigram_rows,
+                                _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS,
+                                _GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN,
+                                _GOPHER_ALPHA_NUM, _GOPHER_ALPHA_DEN,
+                                _GOPHER_MIN_STOP)
+
+    assert _BENCH_MOD == _DSIR_MOD  # one benchmark-slice convention
+
+    bench = _bench_hash_set(sf_dir)
+    cnt_tbl, T, R, V = _dsir_counts(sf_dir)
+    if bench is None or not (0 < V <= _VOCAB_BROADCAST_ROWS):
+        raise ValueError(
+            "curation_funnel's one-pass plan needs both broadcast "
+            "tables under budget; run the constituent pipelines "
+            "(gopher_quality_filter, dedup_exact, decontaminate_ngrams "
+            "force_partitioned, dsir_importance_weights force_join) "
+            "step-wise instead — their partitioned twins are the "
+            "scale path.")
+    handle = ray.put((bench, *_dsir_ppm_arrays(cnt_tbl, T, R, V)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from ray_script_extract import _tune_malloc
+        _tune_malloc()
+        bench, ws, ppm = ray.get(handle)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        n_words, sum_len, n_alpha, n_stop = \
+            _gopher_metrics(batch.column("text"))
+        gopher = ((n_words >= _GOPHER_MIN_WORDS)
+                  & (n_words <= _GOPHER_MAX_WORDS)
+                  & (sum_len >= _GOPHER_MIN_MEAN_LEN * n_words)
+                  & (sum_len <= _GOPHER_MAX_MEAN_LEN * n_words)
+                  & (n_words > 0)
+                  & (_GOPHER_ALPHA_DEN * n_alpha
+                     >= _GOPHER_ALPHA_NUM * n_words)
+                  & (n_stop >= _GOPHER_MIN_STOP))
+        train = ids % _DSIR_MOD != 0
+        keep = train & gopher
+
+        sent = {"text": [""], "doc_id": [-1], "contaminated": [0],
+                "above_par": [0], "n_raw": [len(ids)],
+                "n_train": [int(train.sum())],
+                "n_gopher": [int(keep.sum())]}
+
+        kept = batch.filter(pa.array(keep))
+        if kept.num_rows == 0:
+            return pa.table({k: pa.array(v) for k, v in sent.items()})
+
+        texts = kept.column("text").to_pylist()
+        kids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+
+        # contamination: any shingle shared with the benchmark slice
+        contaminated = np.zeros(len(texts), np.int64)
+        didx, hashes = _doc_distinct_shingle_hashes(texts)
+        if len(hashes) and len(bench):
+            pos = np.minimum(np.searchsorted(bench, hashes),
+                             len(bench) - 1)
+            hit = bench[pos] == hashes
+            np.maximum.at(contaminated, didx[hit],
+                          np.ones(int(hit.sum()), np.int64))
+
+        # DSIR: sum of per-occurrence ppm vs the 1e6·n_tokens par line
+        _, docix, uw, pinv = _unigram_rows(kept)
+        wsum = np.zeros(len(texts), np.int64)
+        n_tok = np.zeros(len(texts), np.int64)
+        if len(uw):
+            wpos = np.minimum(np.searchsorted(ws, uw), len(ws) - 1)
+            w_u = np.where(ws[wpos] == uw, ppm[wpos], 0).astype(np.int64)
+            np.add.at(wsum, docix, w_u[pinv])
+            n_tok = np.bincount(docix, minlength=len(texts)) \
+                .astype(np.int64)
+        above = (wsum >= 1_000_000 * n_tok).astype(np.int64)
+
+        return pa.table({
+            "text": pa.array([""] + texts, pa.string()),
+            "doc_id": pa.array(np.concatenate([[-1], kids]), pa.int64()),
+            "contaminated": pa.array(
+                np.concatenate([[0], contaminated]), pa.int64()),
+            "above_par": pa.array(np.concatenate([[0], above]),
+                                  pa.int64()),
+            "n_raw": pa.array([len(ids)] + [0] * len(texts), pa.int64()),
+            "n_train": pa.array([int(train.sum())] + [0] * len(texts),
+                                pa.int64()),
+            "n_gopher": pa.array([int(keep.sum())] + [0] * len(texts),
+                                 pa.int64()),
+        })
+
+    def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df[df["doc_id"] == -1]
+        rows = df[df["doc_id"] != -1]
+        winners = rows.sort_values(["text", "doc_id"], kind="stable") \
+            .groupby("text", sort=False).head(1)
+        decon = winners[winners["contaminated"] == 0]
+        out = [("raw", int(sent["n_raw"].sum())),
+               ("train_split", int(sent["n_train"].sum())),
+               ("gopher_pass", int(sent["n_gopher"].sum())),
+               ("exact_dedup", len(winners)),
+               ("decontaminated", len(decon)),
+               ("dsir_above_par", int((decon["above_par"] == 1).sum()))]
+        return pd.DataFrame(out, columns=["stage", "cnt"]) \
+            .astype({"cnt": np.int64})
+
+    partials = hash_partitioned_map(
+        ds.map_batches(scan, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["text"], reduce_partition).to_pandas()
+
+    total = partials.groupby("stage")["cnt"].sum()
+    return pd.DataFrame({
+        "stage_idx": np.arange(1, len(_FUNNEL_STAGES) + 1,
+                               dtype=np.int64),
+        "stage": list(_FUNNEL_STAGES),
+        "docs_remaining": np.array(
+            [int(total.get(s, 0)) for s in _FUNNEL_STAGES], np.int64),
+    })
+
+
+def _strip_order(sql: str) -> str:
+    return sql.strip().rsplit("ORDER BY", 1)[0]
+
+
+def _funnel_sql() -> str:
+    from .decontam import DECONTAM_SQL
+    from .text_analysis import DSIR_SQL, GOPHER_QUALITY_SQL
+
+    return f"""
+WITH g AS ({_strip_order(GOPHER_QUALITY_SQL)}),
+dw AS ({_strip_order(DSIR_SQL)}),
+con AS ({_strip_order(DECONTAM_SQL)}),
+s3 AS (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+       WHERE d.doc_id % 20 <> 0 AND g.gopher_pass = 1),
+s4 AS (SELECT MIN(doc_id) AS doc_id, text FROM s3 GROUP BY text),
+s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN con ON con.doc_id = s4.doc_id
+       WHERE con.doc_id IS NULL),
+s6 AS (SELECT s5.doc_id FROM s5 JOIN dw ON dw.doc_id = s5.doc_id
+       WHERE dw.dsir_weight_ppm >= 1000000 * dw.n_tokens)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+           AS docs_remaining
+  UNION ALL SELECT CAST(2 AS BIGINT), 'train_split',
+         CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 <> 0)
+              AS BIGINT)
+  UNION ALL SELECT CAST(3 AS BIGINT), 'gopher_pass',
+         CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+  UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dedup',
+         CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+  UNION ALL SELECT CAST(5 AS BIGINT), 'decontaminated',
+         CAST((SELECT COUNT(*) FROM s5) AS BIGINT)
+  UNION ALL SELECT CAST(6 AS BIGINT), 'dsir_above_par',
+         CAST((SELECT COUNT(*) FROM s6) AS BIGINT)
+) ORDER BY stage_idx
+"""
+
+
+CURATION_FUNNEL_SQL = _funnel_sql()

@@ -2188,6 +2188,8 @@ QUERIES["knn_classify"] = knn_classify
 
 from .curation import (  # noqa: E402
     CURATE_CORPUS_SQL,
+    CURATION_FUNNEL_SQL,
+    curation_funnel,
     DEDUP_KEEP_BEST_SQL,
     PREP_TRAINING_MIX_SQL,
     SAMPLE_STRATIFIED_SQL,
@@ -2232,6 +2234,7 @@ QUERIES["split_train_val_test"] = split_train_val_test
 QUERIES["shuffle_shards"] = shuffle_shards
 QUERIES["dedup_exact_keep_best"] = dedup_exact_keep_best
 QUERIES["curate_corpus"] = curate_corpus
+QUERIES["curation_funnel"] = curation_funnel
 QUERIES["dedup_components"] = dedup_components
 QUERIES["dedup_near_keep_best"] = dedup_near_keep_best
 
@@ -2317,6 +2320,7 @@ ORACLE_SQL: Dict[str, str] = {
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
+    "curation_funnel": CURATION_FUNNEL_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_near_keep_best": DEDUP_NEAR_KEEP_BEST_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,

@@ -2077,6 +2077,50 @@ def _dsir_weight_ppm(tc, rc, T, R, V):
     return np.asarray(num // den, dtype=np.int64)
 
 
+def _dsir_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (word, target count, raw count) partials."""
+    doc_ids, docix, uw, pinv = _unigram_rows(batch)
+    if len(uw) == 0:
+        return pa.table({"w": pa.array([], pa.string()),
+                         "tc": pa.array([], pa.int64()),
+                         "rc": pa.array([], pa.int64())})
+    is_target = (doc_ids[docix] % _DSIR_MOD == 0)
+    tc = np.bincount(pinv, weights=is_target,
+                     minlength=len(uw)).astype(np.int64)
+    rc = np.bincount(pinv, weights=~is_target,
+                     minlength=len(uw)).astype(np.int64)
+    return pa.table({"w": pa.array(uw, pa.string()),
+                     "tc": pa.array(tc, pa.int64()),
+                     "rc": pa.array(rc, pa.int64())})
+
+
+def _dsir_counts(sf_dir: str):
+    """(word-count table, T, R, V): ONE word-keyed exchange plus a
+    distributed scalar reduce — the driver never holds the vocabulary
+    here (only the broadcast path below collects it, under budget)."""
+    from .joins import groupby_agg_partitioned
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    cnt_tbl = groupby_agg_partitioned(
+        docs.map_batches(_dsir_partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], {"tc": "sum", "rc": "sum"}).materialize()
+    agg = cnt_tbl.aggregate(Sum("tc"), Sum("rc"), Count())
+    return (cnt_tbl, int(agg.get("sum(tc)") or 0),
+            int(agg.get("sum(rc)") or 0), int(agg.get("count()") or 0))
+
+
+def _dsir_ppm_arrays(cnt_tbl, T: int, R: int, V: int):
+    """Collect the bounded word table and return sorted
+    (word array, ppm array) — caller must have checked the budget."""
+    tabs = [t for t in ray.get(cnt_tbl.to_arrow_refs()) if t.num_rows]
+    vdf = pa.concat_tables(tabs).to_pandas().sort_values("w", kind="stable")
+    ppm = _dsir_weight_ppm(vdf["tc"].to_numpy(np.int64),
+                           vdf["rc"].to_numpy(np.int64), T, R, V)
+    return vdf["w"].to_numpy(dtype=object), ppm
+
+
 def dsir_importance_weights(sf_dir: str, force_join: bool = False):
     """Per-raw-doc DSIR score: ``(doc_id, n_tokens, dsir_weight_ppm)``
     where the weight is the sum over the doc's token OCCURRENCES of
@@ -2093,50 +2137,19 @@ def dsir_importance_weights(sf_dir: str, force_join: bool = False):
     join semantics."""
     import pandas as pd
 
-    from .joins import groupby_agg_partitioned, hash_partitioned_map
+    from .joins import hash_partitioned_map
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        doc_ids, docix, uw, pinv = _unigram_rows(batch)
-        if len(uw) == 0:
-            return pa.table({"w": pa.array([], pa.string()),
-                             "tc": pa.array([], pa.int64()),
-                             "rc": pa.array([], pa.int64())})
-        is_target = (doc_ids[docix] % _DSIR_MOD == 0)
-        tc = np.bincount(pinv, weights=is_target,
-                         minlength=len(uw)).astype(np.int64)
-        rc = np.bincount(pinv, weights=~is_target,
-                         minlength=len(uw)).astype(np.int64)
-        return pa.table({"w": pa.array(uw, pa.string()),
-                         "tc": pa.array(tc, pa.int64()),
-                         "rc": pa.array(rc, pa.int64())})
-
-    cnt_tbl = groupby_agg_partitioned(
-        docs.map_batches(partial_counts, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        ["w"], {"tc": "sum", "rc": "sum"}).materialize()
-
-    # T/R/V are three scalars reduced distributedly off the word table
-    # — the driver never holds the vocabulary unless it fits the
-    # broadcast budget below.
-    agg = cnt_tbl.aggregate(Sum("tc"), Sum("rc"), Count())
-    T = int(agg.get("sum(tc)") or 0)
-    R = int(agg.get("sum(rc)") or 0)
-    V = int(agg.get("count()") or 0)
+    cnt_tbl, T, R, V = _dsir_counts(sf_dir)
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "n_tokens": pa.array([], pa.int64()),
                       "dsir_weight_ppm": pa.array([], pa.int64())})
 
     if 0 < V <= _VOCAB_BROADCAST_ROWS and not force_join:
-        tabs = [t for t in ray.get(cnt_tbl.to_arrow_refs()) if t.num_rows]
-        vdf = pa.concat_tables(tabs).to_pandas() \
-            .sort_values("w", kind="stable")
-        ppm = _dsir_weight_ppm(vdf["tc"].to_numpy(np.int64),
-                               vdf["rc"].to_numpy(np.int64), T, R, V)
-        handle = ray.put((vdf["w"].to_numpy(dtype=object), ppm))
+        handle = ray.put(_dsir_ppm_arrays(cnt_tbl, T, R, V))
 
         def score(batch: pa.Table) -> pa.Table:
             from ray_script_extract import _tune_malloc
