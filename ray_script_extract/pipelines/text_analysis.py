@@ -2375,15 +2375,15 @@ WITH t AS (
   FROM documents
 ),
 g AS (
-  SELECT 1 AS n, unnest(ws) AS gram FROM t
+  SELECT CAST(1 AS BIGINT) AS n, unnest(ws) AS gram FROM t
   UNION ALL
-  SELECT 2 AS n,
+  SELECT CAST(2 AS BIGINT) AS n,
          array_to_string(list_slice(ws, CAST(i AS INT),
                                     CAST(i AS INT) + 1), ' ') AS gram
   FROM (SELECT ws, unnest(range(1, len(ws))) AS i
         FROM t WHERE len(ws) >= 2)
   UNION ALL
-  SELECT 3 AS n,
+  SELECT CAST(3 AS BIGINT) AS n,
          array_to_string(list_slice(ws, CAST(i AS INT),
                                     CAST(i AS INT) + 2), ' ') AS gram
   FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
