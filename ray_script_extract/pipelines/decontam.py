@@ -672,3 +672,125 @@ JOIN sizes s2 ON s1.source < s2.source
 LEFT JOIN inter i ON i.sa = s1.source AND i.sb = s2.source
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Eval-leakage report — decontamination in the REVERSE direction: for
+# each benchmark document, how much of its content already appears in
+# the training corpus (the "is my eval compromised" table an eval-set
+# owner publishes; GPT-3 App. C reports exactly this per benchmark).
+# ---------------------------------------------------------------------------
+
+
+def eval_leakage_report(sf_dir: str, k: int = 3):
+    """Per-benchmark-doc ``(doc_id, n_shingles, n_leaked, leaked_ppm)``
+    — distinct k-shingles, how many also occur anywhere in the train
+    split, and the leaked fraction in ppm.
+
+    The train side never ships documents: it collapses to
+    batch-distinct shingle hashes map-side (sentinel ``doc_id = -1``,
+    the ``_shingle_pairs`` discipline), so ONE hash-keyed exchange
+    co-locates each shingle with the benchmark docs containing it;
+    per-partition probes emit bounded (doc_id, partial) rows and one
+    doc_id exchange finishes the sums.  No (bench doc × train doc)
+    pair ever materializes — hot shingles cost one membership bit,
+    not a pair fanout (contrast winnow_plagiarism_pairs, which needs
+    the pairs and caps boilerplate instead)."""
+    from .joins import groupby_agg_partitioned, hash_partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_h, out_d = [], []
+        for bench_side in (True, False):
+            sel = (ids % _BENCH_MOD == 0) if bench_side \
+                else (ids % _BENCH_MOD != 0)
+            if not sel.any():
+                continue
+            kept = batch.filter(pa.array(sel))
+            texts = kept.column("text").to_pylist()
+            didx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+            if len(hashes) == 0:
+                continue
+            if bench_side:
+                kids = kept.column("doc_id").to_numpy(
+                    zero_copy_only=False)
+                out_h.append(hashes)
+                out_d.append(kids[didx])
+            else:
+                uniq = np.unique(hashes)
+                out_h.append(uniq)
+                out_d.append(np.full(len(uniq), -1, np.int64))
+        if not out_h:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        train = np.unique(part.loc[part["doc_id"] == -1, "h"].to_numpy())
+        bench = part[part["doc_id"] != -1]
+        if not len(bench):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_shingles": pd.Series(dtype=np.int64),
+                                 "n_leaked": pd.Series(dtype=np.int64)})
+        h = bench["h"].to_numpy()
+        leaked = np.zeros(len(h), np.int64)
+        if len(train):
+            pos = np.minimum(np.searchsorted(train, h), len(train) - 1)
+            leaked = (train[pos] == h).astype(np.int64)
+        g = bench.assign(leaked=leaked).groupby("doc_id", sort=False) \
+            .agg(n_shingles=("h", "size"), n_leaked=("leaked", "sum"))
+        return g.reset_index().astype(np.int64)
+
+    partials = hash_partitioned_map(pairs, ["h"], probe)
+    summed = groupby_agg_partitioned(partials, ["doc_id"],
+                                     {"n_shingles": "sum",
+                                      "n_leaked": "sum"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_shingles").to_numpy(zero_copy_only=False)
+        nl = batch.column("n_leaked").to_numpy(zero_copy_only=False)
+        ppm = 1_000_000 * nl // np.maximum(ns, 1)
+        return batch.append_column("leaked_ppm",
+                                   pa.array(ppm, pa.int64()))
+
+    return sorted_small(summed.map_batches(finish, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                        "doc_id")
+
+
+EVAL_LEAKAGE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+h AS (
+  SELECT doc_id, CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h FROM sh
+),
+bench AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id % 20 = 0),
+train_h AS (SELECT DISTINCT h FROM h WHERE doc_id % 20 <> 0)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       CAST(1000000 * SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS leaked_ppm
+FROM bench b LEFT JOIN train_h t USING (h)
+GROUP BY b.doc_id ORDER BY doc_id
+"""

@@ -2209,8 +2209,10 @@ from .curation import (  # noqa: E402
 
 from .decontam import (  # noqa: E402
     DECONTAM_SQL,
+    EVAL_LEAKAGE_SQL,
     SOURCE_OVERLAP_SQL,
     decontaminate_ngrams,
+    eval_leakage_report,
     source_overlap_matrix,
 )
 from .pii import SCRUB_PII_SQL, scrub_pii  # noqa: E402
@@ -2224,6 +2226,7 @@ QUERIES["word_pmi_pairs"] = word_pmi_pairs
 QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["source_overlap_matrix"] = source_overlap_matrix
+QUERIES["eval_leakage_report"] = eval_leakage_report
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_quality_weighted"] = sample_quality_weighted
@@ -2325,6 +2328,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_near_keep_best": DEDUP_NEAR_KEEP_BEST_SQL,
     "decontaminate_ngrams": DECONTAM_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "eval_leakage_report": EVAL_LEAKAGE_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,
