@@ -615,9 +615,10 @@ def source_overlap_matrix(sf_dir: str, k: int = 3):
 
     agg = groupby_agg_partitioned(part_tbl, ["source_a", "source_b"],
                                   {"n": "sum"})
-    small = pa.concat_tables(
-        [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]) \
-        .to_pandas() if agg.count() else \
+    # collect refs ONCE — a count() probe on the lazy Dataset would
+    # execute the whole exchange a second time
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables(tabs).to_pandas() if tabs else \
         pd.DataFrame(columns=["source_a", "source_b", "n"])
 
     sizes = {r.source_a: int(r.n) for r in small.itertuples()
