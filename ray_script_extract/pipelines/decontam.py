@@ -795,3 +795,113 @@ SELECT b.doc_id,
 FROM bench b LEFT JOIN train_h t USING (h)
 GROUP BY b.doc_id ORDER BY doc_id
 """
+
+
+def contamination_by_source(sf_dir: str, k: int = 3):
+    """Per-source contamination rollup: ``(source, n_train_docs,
+    n_contaminated, contaminated_ppm)`` — which ingestion sources leak
+    benchmark content, the triage view on top of per-doc
+    ``decontaminate_ngrams``.
+
+    Shuffle-light: the benchmark shingle set broadcasts once (same
+    budget/fallback semantics as decontaminate_ngrams — above budget
+    run that pipeline's partitioned twin and roll up), each batch
+    emits ≤ |sources| partial rows, and one source-keyed exchange
+    finishes the counts."""
+    from .joins import groupby_agg_partitioned, sorted_small
+
+    bench = _bench_hash_set(sf_dir, k=k)
+    if bench is None:
+        raise ValueError(
+            "benchmark shingle set exceeds the broadcast budget; run "
+            "decontaminate_ngrams(force_partitioned=True) and roll up "
+            "by source instead — the partitioned semi-join is the "
+            "scale path.")
+    bench_ref = ray.put(bench)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray_script_extract as _rse
+        _rse._tune_malloc()
+        bench = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % _BENCH_MOD != 0
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_train_docs": pa.array([], pa.int64()),
+                          "n_contaminated": pa.array([], pa.int64())})
+        if not sel.any():
+            return empty
+        kept = batch.filter(pa.array(sel))
+        srcs = np.asarray(kept.column("source").to_pylist(), object)
+        texts = kept.column("text").to_pylist()
+        contaminated = np.zeros(len(texts), np.int64)
+        didx, hashes = _doc_distinct_shingle_hashes(texts, k=k)
+        if len(hashes) and len(bench):
+            pos = np.minimum(np.searchsorted(bench, hashes),
+                             len(bench) - 1)
+            hit = bench[pos] == hashes
+            contaminated[np.unique(didx[hit])] = 1
+        import pandas as pd
+        g = pd.DataFrame({"source": srcs, "c": contaminated}) \
+            .groupby("source", sort=False) \
+            .agg(n_train_docs=("c", "size"), n_contaminated=("c", "sum"))
+        g = g.reset_index()
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n_train_docs": pa.array(
+                g["n_train_docs"].to_numpy(np.int64), pa.int64()),
+            "n_contaminated": pa.array(
+                g["n_contaminated"].to_numpy(np.int64), pa.int64()),
+        })
+
+    summed = groupby_agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"], {"n_train_docs": "sum", "n_contaminated": "sum"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_train_docs").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_contaminated").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "contaminated_ppm",
+            pa.array(1_000_000 * nc // np.maximum(nt, 1), pa.int64()))
+
+    return sorted_small(summed.map_batches(finish, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                        "source")
+
+
+CONTAM_BY_SOURCE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1
+                                    WHEN len(ws) >= 1 THEN 2
+                                    ELSE 1 END)) AS i
+        FROM w)
+),
+h AS (
+  SELECT doc_id, CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS h FROM sh
+),
+bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 20 = 0),
+con AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT DISTINCT doc_id, h FROM h WHERE doc_id % 20 <> 0) t
+  JOIN bench USING (h)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN con.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(1000000 * SUM(CASE WHEN con.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS contaminated_ppm
+FROM documents d LEFT JOIN con ON con.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 0
+GROUP BY d.source ORDER BY d.source
+"""

@@ -2208,8 +2208,10 @@ from .curation import (  # noqa: E402
 )
 
 from .decontam import (  # noqa: E402
+    CONTAM_BY_SOURCE_SQL,
     DECONTAM_SQL,
     EVAL_LEAKAGE_SQL,
+    contamination_by_source,
     SOURCE_OVERLAP_SQL,
     decontaminate_ngrams,
     eval_leakage_report,
@@ -2227,6 +2229,7 @@ QUERIES["shared_passages"] = shared_passages
 QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 QUERIES["source_overlap_matrix"] = source_overlap_matrix
 QUERIES["eval_leakage_report"] = eval_leakage_report
+QUERIES["contamination_by_source"] = contamination_by_source
 QUERIES["scrub_pii"] = scrub_pii
 QUERIES["pack_context_windows"] = pack_context_windows
 QUERIES["sample_quality_weighted"] = sample_quality_weighted
@@ -2329,6 +2332,7 @@ ORACLE_SQL: Dict[str, str] = {
     "decontaminate_ngrams": DECONTAM_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "eval_leakage_report": EVAL_LEAKAGE_SQL,
+    "contamination_by_source": CONTAM_BY_SOURCE_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "pack_context_windows": PACK_WINDOWS_SQL,
     "langid_ngram": LANGID_SQL,

@@ -52,3 +52,37 @@ def test_eval_leakage_registry():
 
     assert "eval_leakage_report" in QUERIES
     assert "eval_leakage_report" in ORACLE_SQL
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_by_source(tmp_path):
+    import duckdb
+
+    from ray_script_extract.pipelines.decontam import (
+        CONTAM_BY_SOURCE_SQL,
+        contamination_by_source,
+    )
+
+    # bench doc 0 plants "a b c"; srcA's doc 1 carries it (contaminated),
+    # srcA's doc 21 and srcB's doc 2 are clean.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 21, 2], pa.int64()),
+        "text": pa.array(["a b c", "x a b c y", "p q r s", "u v w"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["srcZ", "srcA", "srcA", "srcB"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = contamination_by_source(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+
+    assert got["source"].tolist() == ["srcA", "srcB"]
+    assert got["n_train_docs"].tolist() == [2, 1]
+    assert got["n_contaminated"].tolist() == [1, 0]
+    assert got["contaminated_ppm"].tolist() == [500000, 0]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(CONTAM_BY_SOURCE_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
