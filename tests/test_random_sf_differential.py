@@ -78,6 +78,13 @@ def _run(fn, sf, **kw) -> pd.DataFrame:
     # corpus-statistics family (subsampling shifts pair counts across
     # the min_count threshold and reshuffles PMI/coverage tie ranks)
     "word_pmi_pairs", "doc_bigram_coverage", "bm25_search",
+    # curation/report family (subsampling moves NTILE tertile cuts,
+    # DSIR smoothing ratios and rank ties, shingle-leakage sets, and
+    # every funnel stage count)
+    "gopher_quality_filter", "ccnet_quality_buckets",
+    "dsir_importance_weights", "dsir_select_top", "ngram_diversity",
+    "source_overlap_matrix", "eval_leakage_report",
+    "contamination_by_source", "curation_funnel",
 ])
 def test_differential(random_sf, name):
     from ray_script_extract.pipelines.queries import ORACLE_SQL, QUERIES
