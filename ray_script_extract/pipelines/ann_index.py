@@ -71,12 +71,22 @@ def _default_index_dir(sf_dir: str, n_clusters: int) -> str:
 
 
 def build_ivf_index(sf_dir: str, index_dir: str | None = None,
-                    n_clusters: int = 16) -> pd.DataFrame:
+                    n_clusters: int = 16, predicate=None) -> pd.DataFrame:
     """Build (or reuse) the persistent IVF index; returns the manifest
     (list_id, n_vectors) sorted by list_id — rows-only correctness
-    (the assignment depends on the seeded k-means fit, not SQL)."""
+    (the assignment depends on the seeded k-means fit, not SQL).
+
+    ``predicate`` (vec_ids -> bool mask) builds a PARTIAL index —
+    the incremental-maintenance base; it requires an explicit
+    ``index_dir`` so the shared full-corpus index is never poisoned,
+    and centroids are still fitted on the full-corpus sample so later
+    appends and the full build assign identically."""
+    if predicate is not None and index_dir is None:
+        raise ValueError("a predicate build needs an explicit index_dir "
+                         "— the default dir is the full-corpus index")
+    default_dir = _default_index_dir(sf_dir, n_clusters)
     if index_dir is None:
-        index_dir = _default_index_dir(sf_dir, n_clusters)
+        index_dir = default_dir
     # the fingerprint in the cache key means a corpus regenerated
     # mid-session misses the cache and triggers a fresh build
     key = (sf_dir, n_clusters, _corpus_fingerprint(sf_dir))
@@ -96,6 +106,13 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
         bc = ray.put(centroids)
 
         def assign(batch: pa.Table) -> pa.Table:
+            if predicate is not None:
+                ids = batch.column("vec_id").to_numpy(
+                    zero_copy_only=False)
+                batch = batch.filter(pa.array(predicate(ids)))
+                if batch.num_rows == 0:
+                    return batch.append_column(
+                        "list_id", pa.array([], pa.int64()))
             cents = ray.get(bc)
             m = np.vstack(batch.column("embedding")
                           .to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -135,22 +152,10 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
                 shutil.rmtree(tmp_dir, ignore_errors=True)
         else:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-    _SHARED_INDEX[key] = index_dir
+    if index_dir == default_dir and predicate is None:
+        _SHARED_INDEX[key] = index_dir
 
-    lists = _read_lists(index_dir, columns=["vec_id", "list_id"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["list_id"]).aggregate([("vec_id", "count")])
-        return pa.table({"list_id": g.column("list_id").cast(pa.int64()),
-                         "n_vectors": g.column("vec_id_count")
-                         .cast(pa.int64())})
-
-    from .joins import groupby_agg_partitioned, sorted_small
-
-    return sorted_small(groupby_agg_partitioned(
-        lists.map_batches(counts, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        ["list_id"], {"n_vectors": "sum"}), "list_id")
+    return _index_manifest(index_dir)
 
 
 def _read_lists(index_dir: str, columns, probed=None) -> "ray.data.Dataset":
@@ -165,8 +170,30 @@ def _read_lists(index_dir: str, columns, probed=None) -> "ray.data.Dataset":
         keep = {int(x) for x in probed}
         kw["partition_filter"] = PathPartitionFilter.of(
             lambda kv: int(kv["list_id"]) in keep, style="hive")
+    # the index is the base build plus every COMPLETED append segment
+    # (its own _SUCCESS) — the LSM/Lance fragment discipline: appends
+    # are immutable sibling directories, never in-place mutation, so a
+    # crashed append is invisible and a retried one idempotent
+    roots = [os.path.join(index_dir, "lists")]
+    apdir = os.path.join(index_dir, "appends")
+    if os.path.isdir(apdir):
+        for b in sorted(os.listdir(apdir)):
+            if os.path.exists(os.path.join(apdir, b, "_SUCCESS")):
+                roots.append(os.path.join(apdir, b, "lists"))
+    if len(roots) == 1:
+        src = roots[0]
+    else:
+        # Ray 2.49's read_parquet does not expand a LIST of
+        # directories — hand it the explicit (sorted, deterministic)
+        # file list; path-level pruning still applies before any file
+        # opens.
+        src = sorted(
+            os.path.join(dp, f)
+            for root in roots
+            for dp, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet"))
     return ray.data.read_parquet(
-        os.path.join(index_dir, "lists"), columns=columns,
+        src, columns=columns,
         partitioning=Partitioning("hive", field_types={"list_id": int}),
         **kw)
 
@@ -189,12 +216,14 @@ def _ensure_index(sf_dir: str, n_clusters: int) -> str:
 
 
 def knn_cosine_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
-                           n_clusters: int = 16, n_probe: int = 4):
+                           n_clusters: int = 16, n_probe: int = 4,
+                           index_dir: str | None = None):
     """Top-k over the persistent index: the read touches only the
     probed hive partitions.  Given the same (seeded) centroid fit the
     output rows are identical to ``knn_cosine_ivf`` — pinned in
     tests/test_ann_index.py."""
-    index_dir = _ensure_index(sf_dir, n_clusters)
+    if index_dir is None:
+        index_dir = _ensure_index(sf_dir, n_clusters)
     cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     order = np.argsort(np.asarray(cent_t["list_id"]))
     centroids = np.vstack(
@@ -294,3 +323,105 @@ ranked AS (
 SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+def append_ivf_index(sf_dir: str, batch_id: str,
+                     index_dir: str | None = None, n_clusters: int = 16,
+                     predicate=None) -> str:
+    """Append new vectors to an EXISTING index without a rebuild —
+    the maintenance path a 100-TB vector store actually runs (a full
+    re-cluster per ingest batch is a non-starter).
+
+    New vectors are assigned to the index's PERSISTED centroids (no
+    refit — assignment stays consistent with the base build) and
+    written as an immutable sibling segment
+    ``appends/<batch_id>/lists/...`` with its own ``_SUCCESS``:
+    a crashed append is invisible to readers, a retried ``batch_id``
+    is a no-op, and ``_read_lists`` unions base + completed segments
+    so every query sees the appended vectors with zero changes.
+    Returns the segment directory."""
+    if index_dir is None:
+        index_dir = _default_index_dir(sf_dir, n_clusters)
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        raise ValueError(f"no completed index at {index_dir}; run "
+                         "build_ivf_index first")
+    seg = os.path.join(index_dir, "appends", batch_id)
+    if os.path.exists(os.path.join(seg, "_SUCCESS")):
+        return seg  # idempotent retry
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(np.asarray(cent_t["list_id"]))
+    centroids = np.vstack(
+        cent_t["centroid"].to_numpy(zero_copy_only=False)[order])
+    bc = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if predicate is not None:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(predicate(ids)))
+            if batch.num_rows == 0:
+                return batch.append_column("list_id",
+                                           pa.array([], pa.int64()))
+        cents = ray.get(bc)
+        m = np.vstack(batch.column("embedding")
+                      .to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lists = (m @ cents.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+
+    tmp = f"{seg}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _read_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(tmp, "lists"),
+                       partition_cols=["list_id"],
+                       min_rows_per_file=64_000)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    os.makedirs(os.path.dirname(seg), exist_ok=True)
+    if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+        shutil.rmtree(seg, ignore_errors=True)
+        try:
+            os.rename(tmp, seg)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return seg
+
+
+def _index_manifest(index_dir: str):
+    """(list_id, n_vectors) over base + completed appends."""
+    lists = _read_lists(index_dir, columns=["vec_id", "list_id"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["list_id"]).aggregate([("vec_id", "count")])
+        return pa.table({"list_id": g.column("list_id").cast(pa.int64()),
+                         "n_vectors": g.column("vec_id_count")
+                         .cast(pa.int64())})
+
+    from .joins import groupby_agg_partitioned, sorted_small
+
+    return sorted_small(groupby_agg_partitioned(
+        lists.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["list_id"], {"n_vectors": "sum"}), "list_id")
+
+
+def ivf_index_incremental(sf_dir: str, n_clusters: int = 16):
+    """Registry entry: the incremental-maintenance round trip — base
+    index over EVEN vec_ids, one appended segment with the ODD
+    vec_ids, manifest over the union.  Centroids come from the
+    full-corpus sample in both phases, so the final content is
+    IDENTICAL to a one-shot full build (pinned in
+    tests/test_ann_index.py — manifest equality AND query equality);
+    rows-only for the driver (the assignment is k-means-dependent)."""
+    index_dir = (_default_index_dir(sf_dir, n_clusters)
+                 + "_incremental")
+    build_ivf_index(sf_dir, index_dir=index_dir, n_clusters=n_clusters,
+                    predicate=lambda ids: ids % 2 == 0)
+    append_ivf_index(sf_dir, "odd-batch", index_dir=index_dir,
+                     n_clusters=n_clusters,
+                     predicate=lambda ids: ids % 2 == 1)
+    return _index_manifest(index_dir)

@@ -107,3 +107,56 @@ def test_partition_pruning(tmp_path):
                                  "n_vectors"].iloc[0])
     # strictly fewer rows than the whole corpus => the filter pruned
     assert n < int(manifest["n_vectors"].sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_append_equals_full_build(tmp_path):
+    """Base build over even vec_ids + an appended odd-vec segment must
+    be CONTENT-IDENTICAL to a one-shot full build (same full-corpus
+    centroid fit): equal manifests AND equal top-k query results."""
+    from ray_script_extract.pipelines.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+        _index_manifest,
+    )
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    full = _df(build_ivf_index(SF, index_dir=full_dir, n_clusters=8))
+    _df(build_ivf_index(SF, index_dir=inc_dir, n_clusters=8,
+                        predicate=lambda ids: ids % 2 == 0))
+    seg = append_ivf_index(SF, "odd", index_dir=inc_dir, n_clusters=8,
+                           predicate=lambda ids: ids % 2 == 1)
+    assert os.path.exists(os.path.join(seg, "_SUCCESS"))
+
+    inc = _df(_index_manifest(inc_dir))
+    pd.testing.assert_frame_equal(inc, full)
+
+    q_full = _df(knn_cosine_ivf_indexed(SF, n_clusters=8,
+                                        index_dir=full_dir))
+    q_inc = _df(knn_cosine_ivf_indexed(SF, n_clusters=8,
+                                       index_dir=inc_dir))
+    pd.testing.assert_frame_equal(q_inc, q_full)
+
+    # idempotent retry: the same batch_id is a no-op
+    seg2 = append_ivf_index(SF, "odd", index_dir=inc_dir, n_clusters=8,
+                            predicate=lambda ids: ids % 2 == 1)
+    assert seg2 == seg
+    pd.testing.assert_frame_equal(_df(_index_manifest(inc_dir)), full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_build_requires_explicit_dir():
+    from ray_script_extract.pipelines.ann_index import build_ivf_index
+
+    with pytest.raises(ValueError):
+        build_ivf_index(SF, predicate=lambda ids: ids % 2 == 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_requires_completed_base(tmp_path):
+    from ray_script_extract.pipelines.ann_index import append_ivf_index
+
+    with pytest.raises(ValueError):
+        append_ivf_index(SF, "b0", index_dir=str(tmp_path / "missing"))
