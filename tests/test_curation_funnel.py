@@ -126,3 +126,22 @@ def test_funnel_registry():
 
     assert "curation_funnel" in QUERIES
     assert "curation_funnel" in ORACLE_SQL
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_refuses_over_budget(tmp_path, monkeypatch):
+    """Above the benchmark broadcast budget the one-pass plan refuses
+    and points at the constituent partitioned twins."""
+    from ray_script_extract.pipelines import decontam
+    from ray_script_extract.pipelines.curation import curation_funnel
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c", "a b c d"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(decontam, "_BENCH_HASH_CAP", 0)
+    with pytest.raises(ValueError, match="partitioned"):
+        curation_funnel(str(tmp_path))

@@ -86,3 +86,21 @@ def test_contamination_by_source(tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(CONTAM_BY_SOURCE_SQL).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_by_source_refuses_over_budget(tmp_path,
+                                                     monkeypatch):
+    from ray_script_extract.pipelines import decontam
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c", "a b c d"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s0", "s0"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(decontam, "_BENCH_HASH_CAP", 0)
+    with pytest.raises(ValueError, match="force_partitioned"):
+        decontam.contamination_by_source(str(tmp_path))
